@@ -1,0 +1,170 @@
+"""Broadcast term dictionary + compiled matcher.
+
+The ontology-derived dictionary is the small dimension of every join in the
+pipeline (the analog of the CURIE converters + remap dicts the reference builds
+once per run, /root/reference/kg_obo/transform.py:751-763,604-621). It is shipped
+to executors once (Spark broadcast / task closure) and compiled into a matcher
+**once per Python worker process** via a module-level cache — the per-batch cost
+inside the Arrow UDF is zero.
+
+Matching strategy: all dictionary surfaces are compiled into ONE regex whose
+alternation is trie-compressed (shared prefixes collapse into nested groups), so
+the scan is near-linear in text length instead of O(alternatives) per position.
+Separate patterns recognize canonical CURIEs, malformed CURIEs
+(lowercased prefix / ``OBO:``-prefixed / ``.OWL#`` -embedded) and raw OBO IRIs —
+the exact shapes repaired by the reference's normalize_id logic
+(/root/reference/kg_obo/robot_utils.py:286-311) and the capitalized-prefix dual
+keys (/root/reference/kg_obo/transform.py:615-621).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from kg_obo_spark.datagen.ontology import Ontology
+
+# ---------------------------------------------------------------- trie regex
+
+
+def _trie_pattern(words: list[str]) -> str:
+    """Compile a list of literal strings into a trie-compressed regex pattern.
+
+    Standard public technique (collapse shared prefixes into nested
+    alternations); guarantees leftmost-LONGEST among the words because at each
+    trie node the 'end here' branch is emitted after the longer continuations.
+    """
+    trie: dict = {}
+    for w in words:
+        node = trie
+        for ch in w:
+            node = node.setdefault(ch, {})
+        node[""] = {}  # end marker
+
+    def emit(node: dict) -> str:
+        if not node:
+            return ""
+        branches = []
+        has_end = False
+        for ch in sorted(node, reverse=True):  # longer continuations before end
+            if ch == "":
+                has_end = True
+                continue
+            sub = emit(node[ch])
+            branches.append(re.escape(ch) + sub)
+        if has_end:
+            branches.append("")
+        if len(branches) == 1 and not has_end:
+            return branches[0]
+        return "(?:" + "|".join(branches) + ")"
+
+    return emit(trie)
+
+
+# ---------------------------------------------------------------- matcher
+
+
+@dataclass
+class TermMatcher:
+    """Compiled matcher over a term dictionary. Picklable inputs only; the
+    compiled regexes are built lazily in-worker (see get_matcher cache)."""
+
+    surface_map: dict[str, list[tuple[str, float, str]]]
+    # lowercased surface -> [(term_id, base_score, exact_surface)]
+    known_prefixes: set[str]
+    known_ids: set[str]
+    iri_prefix_re: str
+    version: str
+
+    def __post_init__(self) -> None:
+        surfaces = sorted(self.surface_map, key=len, reverse=True)
+        self._dict_re = re.compile(
+            r"(?<![A-Za-z0-9_])" + _trie_pattern(surfaces) + r"(?![A-Za-z0-9_-])",
+            re.IGNORECASE,
+        )
+        # canonical or lowercased-prefix CURIE, e.g. BFO:0000030 / bfo:0000030
+        self._curie_re = re.compile(r"(?<![A-Za-z0-9_:])([A-Za-z]+):(\d{7})(?!\d)")
+        # OBO:PREFIX_num and OBO:prefix.OWL#PREFIX_num (robot_utils.py:287-299)
+        self._obo_re = re.compile(
+            r"(?<![A-Za-z0-9_:])OBO:(?:[A-Za-z]+\.OWL#)?([A-Za-z]+)_(\d{7})(?!\d)"
+        )
+        self._iri_re = re.compile(self.iri_prefix_re + r"([A-Za-z]+)_(\d{7})(?!\d)")
+
+    def find(
+        self, text: str, best_only: bool = True
+    ) -> list[tuple[int, int, str, str, float]]:
+        """Resolved mentions in a string: (start, end, surface, term_id, score).
+
+        Overlaps resolved leftmost-longest; ties broken by pattern priority
+        (explicit CURIE/IRI > dictionary surface) then term_id asc — fully
+        deterministic, mirrored exactly by the pure-Python oracle.
+
+        ``best_only=True`` keeps one candidate per span (highest score, term_id
+        asc) — this is the default pipeline path and means 1-best entity linking
+        costs NO shuffle: every span's candidates are produced by the same task.
+        ``best_only=False`` emits all candidates (resolve later with
+        operators.extract.link_best).
+        """
+        cands: list[tuple[int, int, int, str, str, float]] = []
+        for m in self._obo_re.finditer(text):
+            tid = f"{m.group(1).upper()}:{m.group(2)}"
+            if tid in self.known_ids:
+                cands.append((m.start(), m.end(), 0, m.group(0), tid, 0.98))
+        for m in self._iri_re.finditer(text):
+            tid = f"{m.group(1).upper()}:{m.group(2)}"
+            if tid in self.known_ids:
+                cands.append((m.start(), m.end(), 0, m.group(0), tid, 0.98))
+        for m in self._curie_re.finditer(text):
+            pfx = m.group(1)
+            if pfx.upper() in self.known_prefixes and pfx != "OBO":
+                tid = f"{pfx.upper()}:{m.group(2)}"
+                if tid in self.known_ids:
+                    score = 1.0 if pfx.isupper() else 0.97
+                    cands.append((m.start(), m.end(), 0, m.group(0), tid, score))
+        for m in self._dict_re.finditer(text):
+            surf = m.group(0)
+            for tid, base, exact in self.surface_map.get(surf.lower(), ()):
+                score = base if surf == exact else base - 0.05
+                cands.append((m.start(), m.end(), 1, surf, tid, score))
+        # leftmost-longest sweep over overlapping spans
+        cands.sort(key=lambda c: (c[0], -c[1], c[2], -c[5], c[4]))
+        out: list[tuple[int, int, str, str, float]] = []
+        last_end = -1
+        cur_span = None
+        for start, end, _prio, surf, tid, score in cands:
+            if start >= last_end:
+                cur_span = (start, end)
+                last_end = end
+                out.append((start, end, surf, tid, score))
+            elif (start, end) == cur_span and not best_only:
+                # same winning span, ambiguous surface -> extra candidate
+                out.append((start, end, surf, tid, score))
+        return out
+
+
+def build_matcher(onto: Ontology) -> TermMatcher:
+    surface_map: dict[str, list[tuple[str, float, str]]] = {}
+    for surf, tid, base in onto.surface_index():
+        surface_map.setdefault(surf.lower(), []).append((tid, base, surf))
+    for v in surface_map.values():
+        v.sort()
+    return TermMatcher(
+        surface_map=surface_map,
+        known_prefixes={t["id"].split(":")[0] for t in onto.terms},
+        known_ids={t["id"] for t in onto.terms},
+        iri_prefix_re=re.escape("http://purl.obolibrary.org/obo/"),
+        version=f"{onto.name}-{onto.version}",
+    )
+
+
+# One compiled matcher per worker process per dictionary version.
+_MATCHER_CACHE: dict[str, TermMatcher] = {}
+
+
+def get_matcher(onto: Ontology) -> TermMatcher:
+    key = f"{onto.name}-{onto.version}-{len(onto.terms)}"
+    m = _MATCHER_CACHE.get(key)
+    if m is None:
+        m = build_matcher(onto)
+        _MATCHER_CACHE[key] = m
+    return m

@@ -1,0 +1,208 @@
+"""ID normalization + entity canonicalization.
+
+Two halves:
+
+1. **CURIE normalization** — pure native column expressions (JVM-side, inside
+   whole-stage codegen; no Python). Reproduces the reference's normalize_id
+   semantics (/root/reference/kg_obo/robot_utils.py:286-311): ``OBO:``-prefix
+   rewrite (incl. ``.OWL#``-embedded), IRI→CURIE compression, prefix
+   capitalization (robot_utils.py:307-309), plus the remap-table join with
+   capitalized-prefix dual keys (transform.py:604-621).
+
+2. **Connected components** — canonical entity = min(CURIE) over the equivalence
+   graph (shared synonym surfaces + ontology xrefs). Implemented as the
+   alternating large-star / small-star algorithm (Kiveris et al., "Connected
+   Components in MapReduce and Beyond") as iterative DataFrame self-joins with
+   ``localCheckpoint`` per round to cut lineage — O(log n) rounds, robust to
+   pathological chains, skew-tolerant because the min-aggregations are partially
+   aggregated map-side and AQE splits skewed join partitions. The reference
+   computes CC single-node via ensmallen (/root/reference/kg_obo/stats.py:315,
+   334-359, undirected); same values, distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+OBO_IRI_PREFIX = "http://purl.obolibrary.org/obo/"
+
+# OBO:PREFIX_1234567 or OBO:prefix.OWL#PREFIX_1234567 -> PREFIX:1234567
+_OBO_RE = r"^OBO:(?:[A-Za-z]+\.OWL#)?([A-Za-z]+)_(\d+)$"
+_IRI_RE = r"^http://purl\.obolibrary\.org/obo/([A-Za-z]+)_(\d+)$"
+_CURIE_RE = r"^([A-Za-z]+):(\d+)$"
+
+
+def normalize_curie(col: Column) -> Column:
+    """Native-expression CURIE repair: OBO-rewrite, IRI compression, prefix
+    capitalization. Unrecognized shapes pass through unchanged."""
+    obo_pfx = F.regexp_extract(col, _OBO_RE, 1)
+    obo_num = F.regexp_extract(col, _OBO_RE, 2)
+    iri_pfx = F.regexp_extract(col, _IRI_RE, 1)
+    iri_num = F.regexp_extract(col, _IRI_RE, 2)
+    cur_pfx = F.regexp_extract(col, _CURIE_RE, 1)
+    cur_num = F.regexp_extract(col, _CURIE_RE, 2)
+    return (
+        F.when(obo_pfx != "", F.concat(F.upper(obo_pfx), F.lit(":"), obo_num))
+        .when(iri_pfx != "", F.concat(F.upper(iri_pfx), F.lit(":"), iri_num))
+        .when(cur_pfx != "", F.concat(F.upper(cur_pfx), F.lit(":"), cur_num))
+        .otherwise(col)
+    )
+
+
+def apply_id_update_map(
+    df: DataFrame, columns: list[str], id_update_map: dict[str, str]
+) -> DataFrame:
+    """Broadcast-join remap of ID columns against the update map (the
+    clean_and_normalize_graph semantics, transform.py:604-656).
+
+    The map is augmented with capitalized-prefix variants of every key exactly
+    as transform.py:615-621 does, then applied as a broadcast LEFT join per
+    column + coalesce(new, old) — the Spark shape of the reference's dict probe
+    (J1/J2 in SURVEY §2.3). Build side is always the tiny map."""
+    spark = df.sparkSession
+    aug = dict(id_update_map)
+    for old, new in list(id_update_map.items()):
+        if ":" in old:
+            pfx, rest = old.split(":", 1)
+            if pfx and pfx[0].islower():
+                aug.setdefault(pfx.capitalize() + ":" + rest, new)
+                aug.setdefault(pfx.upper() + ":" + rest, new)
+    map_df = spark.createDataFrame(
+        [(k, v) for k, v in sorted(aug.items())], "old_id string, new_id string"
+    )
+    out = df
+    for c in columns:
+        m = map_df.withColumnRenamed("old_id", f"_old_{c}").withColumnRenamed(
+            "new_id", f"_new_{c}"
+        )
+        out = (
+            out.join(F.broadcast(m), out[c] == m[f"_old_{c}"], "left")
+            .withColumn(c, F.coalesce(F.col(f"_new_{c}"), F.col(c)))
+            .drop(f"_old_{c}", f"_new_{c}")
+        )
+    return out
+
+
+# ---------------------------------------------------------- connected components
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+    mins = mins.select("u", F.least("_mn", F.col("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor of u (and u) to the local min."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    out = oriented.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    out = out.union(mins.select(F.col("u"), F.col("m").alias("v")))
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame | None = None, max_iter: int = 50
+) -> DataFrame:
+    """(id, component) for an undirected graph; component = min member id.
+
+    ``edges`` must have two string/compatible columns (any names; positionally
+    src, dst). ``nodes`` (single column ``id``) adds isolated nodes — they come
+    back as their own singleton components. Deterministic; loop + localCheckpoint
+    is the documented application-level strategy (SURVEY §4.3) since CC is not
+    expressible as one Catalyst plan.
+    """
+    src, dst = edges.columns[:2]
+    b = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        b = _small_star(_large_star(b)).localCheckpoint()
+        # convergence: stable (count, xor-checksum) signature of the edge set
+        # (bit_xor cannot overflow, unlike ANSI sum)
+        sig = b.select(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # at convergence every node points directly at its component min
+    comp = b.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = b.select(F.col("v").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    result = comp.union(roots).groupBy("id").agg(F.min("component").alias("component"))
+    if nodes is not None:
+        nid = nodes.columns[0]
+        singles = (
+            nodes.select(F.col(nid).alias("id"))
+            .distinct()
+            .join(result, "id", "left_anti")
+            .withColumn("component", F.col("id"))
+        )
+        result = result.union(singles)
+    return result
+
+
+def union_find(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """Driver-side union-find with path halving; canonical = min member."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def canonical_map(
+    onto_terms: DataFrame, equiv_edges: DataFrame, small_threshold: int = 1_000_000
+) -> DataFrame:
+    """(term_id, canonical_id): canonical = min(CURIE) of the term's component.
+
+    The equivalence graph of a term dictionary is broadcast-scale by design
+    (it IS the small dimension), so when it is below ``small_threshold`` edges
+    the components are solved with a driver-side union-find — one collect of an
+    already-tiny frame instead of a multi-round distributed fixpoint. Larger
+    graphs (e.g. cross-document canonicalization) fall through to the
+    star-contraction :func:`connected_components`.
+    """
+    src, dst = equiv_edges.columns[:2]
+    n_edges = equiv_edges.count()
+    if n_edges <= small_threshold:
+        pairs = [(r[0], r[1]) for r in equiv_edges.select(src, dst).collect()]
+        mapping = union_find(pairs)
+        changed = sorted((k, v) for k, v in mapping.items() if k != v)
+        spark = equiv_edges.sparkSession
+        if not changed:
+            return spark.createDataFrame([], "term_id string, canonical_id string")
+        return spark.createDataFrame(changed, "term_id string, canonical_id string")
+    cc = connected_components(equiv_edges, nodes=onto_terms.select("id"))
+    return cc.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("term_id"), F.col("component").alias("canonical_id")
+    )

@@ -1,0 +1,168 @@
+"""Graph materialization: mentions -> KGX node / edge tables.
+
+Output schemas mirror the reference golden fixtures exactly:
+- nodes: ``id, category, name, description, provided_by`` + dynamic properties
+  (/root/reference/tests/resources/download_ontology/bfo_kgx_tsv_nodes.tsv:1)
+- edges: ``subject, predicate, object, relation, knowledge_source``
+  (bfo_kgx_tsv_edges.tsv:1), with knowledge_source = "{NAME} {version}"
+  (transform.py:1133-1135).
+
+Category rewrite ``biolink:OntologyClass -> biolink:NamedThing`` is P4
+(transform.py:642-644). Multi-valued cells are ``|``-joined on TSV export
+(stats.py:556-558 analog).
+
+Scale notes:
+- Co-mention pair generation is `groupBy(conv_id, turn_idx) -> sort_array(
+  collect_set) -> inline pair expansion` — one shuffle on the turn key, all
+  pair expansion JVM-side (no self-join of the mentions table, which would
+  shuffle twice and blow up on hot turns).
+- The term dictionary join is explicitly broadcast.
+- Final `distinct()` on edges is a shuffle on (subject, object); map-side
+  partial aggregation absorbs hot pairs before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kg_obo_spark.datagen.ontology import Ontology
+
+EDGE_COLS = ["subject", "predicate", "object", "relation", "knowledge_source"]
+NODE_CORE_COLS = ["id", "category", "name", "description", "provided_by"]
+
+CO_MENTION_PREDICATE = "biolink:related_to"
+CO_MENTION_RELATION = "co_mentioned_with"
+ISA_PREDICATE = "biolink:subclass_of"
+ISA_RELATION = "rdfs:subClassOf"
+
+
+def rewrite_category(df: DataFrame, col: str = "category") -> DataFrame:
+    """P4: biolink:OntologyClass -> biolink:NamedThing (transform.py:642-644)."""
+    return df.withColumn(
+        col,
+        F.when(F.col(col) == "biolink:OntologyClass", F.lit("biolink:NamedThing"))
+        .otherwise(F.col(col)),
+    )
+
+
+def canonical_mentions(mentions: DataFrame, canon_map: DataFrame) -> DataFrame:
+    """Rewrite mention term_ids to canonical ids via broadcast join (J1)."""
+    m = canon_map.withColumnRenamed("term_id", "_t")
+    return (
+        mentions.join(F.broadcast(m), mentions.term_id == m._t, "left")
+        .withColumn("term_id", F.coalesce(F.col("canonical_id"), F.col("term_id")))
+        .drop("_t", "canonical_id")
+    )
+
+
+def co_mention_pairs(mentions: DataFrame) -> DataFrame:
+    """Distinct unordered (a < b) canonical-id pairs per (conv_id, turn_idx).
+
+    Pair expansion is pure column expressions over the sorted distinct term
+    array of each turn — no self-join, no Python.
+    """
+    per_turn = mentions.groupBy("conv_id", "turn_idx").agg(
+        F.sort_array(F.collect_set("term_id")).alias("terms")
+    )
+    pairs = per_turn.filter(F.size("terms") >= 2).select(
+        "conv_id",
+        "turn_idx",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "terms",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("terms"), i + F.lit(2), F.size("terms")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p"),
+    )
+    return pairs.select("conv_id", "turn_idx", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+
+
+def build_edges(
+    mentions: DataFrame, onto: Ontology, include_isa: bool = True
+) -> DataFrame:
+    """KGX edge table: distinct co-mention edges + is_a edges between mentioned
+    terms. Emission is deterministic: distinct + downstream writers sort."""
+    ks = F.lit(onto.knowledge_source)
+    pairs = co_mention_pairs(mentions)
+    co = pairs.select(
+        F.col("a").alias("subject"),
+        F.lit(CO_MENTION_PREDICATE).alias("predicate"),
+        F.col("b").alias("object"),
+        F.lit(CO_MENTION_RELATION).alias("relation"),
+        ks.alias("knowledge_source"),
+    ).distinct()
+    if not include_isa:
+        return co
+    return co.unionByName(build_isa_edges(mentions, onto))
+
+
+def build_isa_edges(mentions: DataFrame, onto: Ontology) -> DataFrame:
+    """is_a edges of the ontology restricted to terms mentioned anywhere.
+
+    The mentioned-id set is tiny relative to the input, so both semi-joins run
+    against a broadcast of it; at 100 TB the distinct() is the only shuffle and
+    is bounded by dictionary size, not corpus size."""
+    spark = mentions.sparkSession
+    isa = spark.createDataFrame(onto.is_a, "subject string, object string")
+    mentioned = mentions.select(F.col("term_id").alias("id")).distinct()
+    m1 = mentioned.withColumnRenamed("id", "_sid")
+    m2 = mentioned.withColumnRenamed("id", "_oid")
+    return (
+        isa.join(F.broadcast(m1), isa.subject == m1._sid, "left_semi")
+        .join(F.broadcast(m2), isa.object == m2._oid, "left_semi")
+        .select(
+            "subject",
+            F.lit(ISA_PREDICATE).alias("predicate"),
+            "object",
+            F.lit(ISA_RELATION).alias("relation"),
+            F.lit(onto.knowledge_source).alias("knowledge_source"),
+        )
+    )
+
+
+def build_nodes(mentions: DataFrame, onto: Ontology) -> DataFrame:
+    """KGX node table for every distinct mentioned (canonical) term.
+
+    Core columns + a dynamic ``properties`` map (iri, synonyms |-joined, prefix)
+    — the MapType tail that models the reference's per-ontology annotation
+    columns (SURVEY §1.1)."""
+    spark = mentions.sparkSession
+    dict_df = spark.createDataFrame(
+        [
+            (
+                t["id"],
+                t["category"],
+                t["name"],
+                "",  # description (synthetic ontology has none)
+                t["iri"],
+                "|".join(t["synonyms"]),
+                t["prefix"],
+            )
+            for t in onto.terms
+        ],
+        "id string, category string, name string, description string, "
+        "iri string, synonyms string, prefix string",
+    )
+    mentioned = mentions.select(F.col("term_id").alias("id")).distinct()
+    nodes = mentioned.join(F.broadcast(dict_df), "id", "left").select(
+        "id",
+        F.coalesce("category", F.lit("biolink:NamedThing")).alias("category"),
+        F.coalesce("name", F.lit("")).alias("name"),
+        F.coalesce("description", F.lit("")).alias("description"),
+        F.lit(onto.knowledge_source).alias("provided_by"),
+        F.map_from_arrays(
+            F.array(F.lit("iri"), F.lit("synonym"), F.lit("prefix")),
+            F.array(
+                F.coalesce("iri", F.lit("")),
+                F.coalesce("synonyms", F.lit("")),
+                F.coalesce("prefix", F.lit("")),
+            ),
+        ).alias("properties"),
+    )
+    return rewrite_category(nodes)

@@ -1,0 +1,164 @@
+"""End-to-end KG-construction pipeline with lock / resume / lineage.
+
+The distributed analog of the reference's run_transform per-ontology loop
+(/root/reference/kg_obo/transform.py:683-1330), restructured as a dataflow:
+
+    transcripts --bucket(conv_id)--> [pending units via anti-join]
+        -> extract_mentions (Arrow scan, no shuffle)
+        -> canonical rewrite (broadcast join)
+        -> co-mention edges (one shuffle on turn key) + mentioned-node ids
+        -> per-unit-batch atomic commit + lineage + unit-done markers
+    finalize: nodes (broadcast dict join) + is_a edges (global semi-join)
+        -> KGX node/edge snapshots + tracking rotation
+
+Gate ordering mirrors the reference: lock check -> tracking check -> work ->
+track_version -> unlock (transform.py:765-794,1195,1322-1328); a crash between
+commits resumes from the last committed unit batch (skip-if-done anti-join,
+transform.py:911-936).
+
+Scale notes: units are hash buckets of conv_id, so resume granularity is
+independent of conversation count; all per-unit stages are conv-local (no
+cross-bucket shuffle); only the finalize stage sees global state (distinct node
+ids — tiny relative to input).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kg_obo_spark.datagen.ontology import Ontology
+from kg_obo_spark.operators.canonicalize import canonical_map
+from kg_obo_spark.operators.extract import extract_mentions
+from kg_obo_spark.operators.materialize import (
+    build_edges,
+    build_isa_edges,
+    build_nodes,
+    canonical_mentions,
+)
+from kg_obo_spark.plans.tracking import TrackingStore, partition_metrics
+from kg_obo_spark.sources.tableio import Lock, Table
+
+
+@dataclass
+class PipelineResult:
+    run_id: str
+    nodes: DataFrame
+    edges: DataFrame
+    mentions: DataFrame
+    units_processed: list[int] = field(default_factory=list)
+    units_skipped: list[int] = field(default_factory=list)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    onto: Ontology,
+    out_root: str,
+    run_id: str | None = None,
+    n_buckets: int = 8,
+    unit_batch_size: int | None = None,
+    fail_after_batches: int | None = None,
+) -> PipelineResult:
+    """Run (or resume) the full pipeline; returns the final node/edge frames.
+
+    ``unit_batch_size``: units per atomic commit (None = all pending in one).
+    ``fail_after_batches``: test hook — raise after N committed batches to
+    exercise crash/resume.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    store = TrackingStore(out_root)
+    mentions_t = Table(os.path.join(out_root, "mentions"))
+    co_edges_t = Table(os.path.join(out_root, "co_edges"))
+    nodes_t = Table(os.path.join(out_root, "nodes"))
+    edges_t = Table(os.path.join(out_root, "edges"))
+
+    lock = Lock(os.path.join(out_root, "_lock"))
+    lock.acquire()
+    try:
+        tr = transcripts.withColumn(
+            "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+        )
+        all_units = list(range(n_buckets))
+        units_df = spark.createDataFrame([(str(u),) for u in all_units], "unit string")
+        pending = sorted(
+            int(r["unit"]) for r in store.pending_units(units_df).collect()
+        )
+        skipped = sorted(set(all_units) - set(pending))
+
+        # canonicalization map: tiny, computed once, broadcast into every join
+        eq = spark.createDataFrame(
+            onto.xrefs or [("__none__", "__none__")], "a string, b string"
+        )
+        terms_df = spark.createDataFrame([(t["id"],) for t in onto.terms], "id string")
+        cmap = canonical_map(terms_df, eq)
+
+        batch = unit_batch_size or max(len(pending), 1)
+        batches = [pending[i : i + batch] for i in range(0, len(pending), batch)]
+        done_batches = 0
+        for units in batches:
+            sub = tr.filter(F.col("bucket").isin(units))
+            mentions = extract_mentions(sub, onto)
+            cm = canonical_mentions(mentions, cmap)
+            cm = cm.localCheckpoint()  # one scan feeds both edge + mention sinks
+            co = build_edges(cm, onto, include_isa=False)
+
+            n_in = sub.count()
+            snap_m = mentions_t.commit(cm, mode="append", meta={"units": units})
+            snap_e = co_edges_t.commit(co, mode="append", meta={"units": units})
+            store.log_stage(
+                spark,
+                run_id,
+                "extract+link",
+                rows_in=n_in,
+                rows_out=snap_m.row_count,
+                snapshot_id=snap_m.snapshot_id,
+                per_partition=partition_metrics(cm),
+            )
+            store.log_stage(
+                spark,
+                run_id,
+                "co_edges",
+                rows_in=snap_m.row_count,
+                rows_out=snap_e.row_count,
+                snapshot_id=snap_e.snapshot_id,
+            )
+            for u in units:
+                store.mark_unit_done(spark, run_id, str(u))
+            done_batches += 1
+            if fail_after_batches is not None and done_batches >= fail_after_batches:
+                raise RuntimeError(f"injected failure after {done_batches} batches")
+
+        # ---- finalize: global nodes + is_a edges over all committed units
+        all_mentions = mentions_t.read(spark)
+        all_co = co_edges_t.read(spark).distinct()
+        nodes = build_nodes(all_mentions, onto)
+        # co-mention part was committed incrementally; only is_a is global work
+        isa = build_isa_edges(all_mentions, onto)
+        edges = all_co.unionByName(isa).distinct()
+
+        ns = nodes_t.commit(nodes, meta={"run_id": run_id})
+        es = edges_t.commit(edges, meta={"run_id": run_id})
+        store.log_stage(
+            spark, run_id, "materialize_nodes", 0, ns.row_count, snapshot_id=ns.snapshot_id
+        )
+        store.log_stage(
+            spark, run_id, "materialize_edges", 0, es.row_count, snapshot_id=es.snapshot_id
+        )
+        store.track_version(
+            spark, onto.name, f"urn:kg-obo-spark:{onto.name}", onto.version
+        )
+        return PipelineResult(
+            run_id=run_id,
+            nodes=nodes_t.read(spark),
+            edges=edges_t.read(spark),
+            mentions=all_mentions,
+            units_processed=pending,
+            units_skipped=skipped,
+        )
+    finally:
+        lock.release()

@@ -1,0 +1,151 @@
+"""Tracking / resume / lineage tables.
+
+Semantics mirrored from the reference's tracking.yaml + lock + mapcount trio:
+
+- ``tracking(source, current_iri, current_version, archive)`` with
+  rotate-current-into-archive on version change — track_obo_version
+  (/root/reference/kg_obo/transform.py:349-408) and the fixture
+  tests/resources/tracking.yaml.
+- ``transformed_exists`` skip predicate — transform.py:411-452, applied before
+  expensive stages at transform.py:911-936. Here it is a **left-anti join** of
+  work units against the tracking table: the incremental-compute primitive.
+- ``lineage(stage, partition_id, rows_in, rows_out, ...)`` per-partition metrics
+  — the distributed analog of the reference's remap-hit counter reporting
+  (transform.py:626,661-664), committed with each stage snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kg_obo_spark.sources.tableio import Table
+
+TRACKING_SCHEMA = (
+    "source string, current_iri string, current_version string, "
+    "archive array<struct<iri:string, version:string>>"
+)
+LINEAGE_SCHEMA = (
+    "run_id string, stage string, partition_id int, rows_in long, rows_out long, "
+    "remap_count long, snapshot_id string, committed_at timestamp"
+)
+
+
+class TrackingStore:
+    """Tracking + lineage over TableIO snapshot tables."""
+
+    def __init__(self, root: str):
+        self.tracking = Table(os.path.join(root, "tracking"))
+        self.lineage = Table(os.path.join(root, "lineage"))
+
+    # ------------------------------------------------------------- tracking
+
+    def read_tracking(self, spark: SparkSession) -> DataFrame:
+        if not self.tracking.exists():
+            return spark.createDataFrame([], TRACKING_SCHEMA)
+        return self.tracking.read(spark)
+
+    def transformed_exists(self, spark: SparkSession, source: str, version: str) -> bool:
+        """True iff (source, version) is the current version or archived —
+        transform.py:411-452 semantics."""
+        t = self.read_tracking(spark).filter(F.col("source") == source)
+        row = t.select(
+            F.max((F.col("current_version") == version).cast("int")).alias("cur"),
+            F.max(
+                F.exists("archive", lambda a: a["version"] == F.lit(version)).cast("int")
+            ).alias("arch"),
+        ).first()
+        return bool(row and ((row["cur"] or 0) + (row["arch"] or 0) > 0))
+
+    def track_version(
+        self, spark: SparkSession, source: str, iri: str, version: str
+    ) -> None:
+        """Rotate current into archive and install the new version
+        (transform.py:381-395)."""
+        cur = self.read_tracking(spark)
+        mine = cur.filter(F.col("source") == source)
+        others = cur.filter(F.col("source") != source)
+        row = mine.first()
+        if row is None:
+            archive = []
+        else:
+            archive = [a.asDict() for a in (row["archive"] or [])]
+            if row["current_version"] is not None and row["current_version"] != "NA":
+                if row["current_version"] != version:
+                    archive.append(
+                        {"iri": row["current_iri"], "version": row["current_version"]}
+                    )
+        new_row = spark.createDataFrame(
+            [(source, iri, version, [(a["iri"], a["version"]) for a in archive])],
+            TRACKING_SCHEMA,
+        )
+        self.tracking.commit(others.unionByName(new_row), meta={"source": source})
+
+    # ------------------------------------------------------------ resume
+
+    def pending_units(self, work_units: DataFrame, done_key: str = "unit") -> DataFrame:
+        """Anti-join work units against completed units recorded in lineage —
+        the skip-if-done gate (transform.py:911-936) as a relational op."""
+        spark = work_units.sparkSession
+        if not self.lineage.exists():
+            return work_units
+        done = (
+            self.lineage.read(spark)
+            .filter(F.col("stage") == "unit_done")
+            .select(F.col("snapshot_id").alias(done_key))
+            .distinct()
+        )
+        return work_units.join(F.broadcast(done), done_key, "left_anti")
+
+    def mark_unit_done(self, spark: SparkSession, run_id: str, unit: str) -> None:
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        row = spark.createDataFrame(
+            [(run_id, "unit_done", -1, 0, 0, 0, unit, now)], LINEAGE_SCHEMA
+        )
+        self.lineage.commit(row, mode="append", meta={"unit": unit})
+
+    # ------------------------------------------------------------ lineage
+
+    def log_stage(
+        self,
+        spark: SparkSession,
+        run_id: str,
+        stage: str,
+        rows_in: int,
+        rows_out: int,
+        remap_count: int = 0,
+        snapshot_id: str = "",
+        per_partition: DataFrame | None = None,
+    ) -> None:
+        """Append stage metrics; ``per_partition`` may carry per-partition rows
+        (partition_id, rows_in, rows_out) computed via spark_partition_id()."""
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        rows = [(run_id, stage, -1, rows_in, rows_out, remap_count, snapshot_id, now)]
+        df = spark.createDataFrame(rows, LINEAGE_SCHEMA)
+        if per_partition is not None:
+            pp = per_partition.select(
+                F.lit(run_id).alias("run_id"),
+                F.lit(stage).alias("stage"),
+                F.col("partition_id").cast("int"),
+                F.col("rows_in").cast("long"),
+                F.col("rows_out").cast("long"),
+                F.lit(0).cast("long").alias("remap_count"),
+                F.lit(snapshot_id).alias("snapshot_id"),
+                F.lit(now).alias("committed_at"),
+            )
+            df = df.unionByName(pp)
+        self.lineage.commit(df, mode="append", meta={"stage": stage})
+
+
+def partition_metrics(df: DataFrame) -> DataFrame:
+    """(partition_id, rows_in, rows_out) for a frame — rows_in == rows_out here;
+    stages that filter report both sides."""
+    return (
+        df.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(F.count("*").alias("rows_out"))
+        .withColumn("rows_in", F.col("rows_out"))
+    )

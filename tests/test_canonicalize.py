@@ -1,0 +1,86 @@
+"""CURIE normalization (robot_utils.py:286-311 semantics) + connected components."""
+
+from pyspark.sql import functions as F
+
+from kg_obo_spark.operators.canonicalize import (
+    apply_id_update_map,
+    canonical_map,
+    connected_components,
+    normalize_curie,
+    union_find,
+)
+
+
+def _norm(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "id string")
+    return [r["n"] for r in df.select(normalize_curie(F.col("id")).alias("n")).collect()]
+
+
+def test_normalize_curie_shapes(spark):
+    assert _norm(
+        spark,
+        [
+            "OBO:BFO_0000030",
+            "OBO:bfo.OWL#BFO_0000030",
+            "http://purl.obolibrary.org/obo/BFO_0000030",
+            "bfo:0000030",
+            "BFO:0000030",
+            "not an id",
+        ],
+    ) == [
+        "BFO:0000030",
+        "BFO:0000030",
+        "BFO:0000030",
+        "BFO:0000030",
+        "BFO:0000030",
+        "not an id",
+    ]
+
+
+def test_id_update_map_with_capitalized_dual_keys(spark):
+    df = spark.createDataFrame(
+        [("bfo:0000030",), ("Bfo:0000030",), ("BFO:0000030",), ("GO:0000001",)],
+        "id string",
+    )
+    # map keyed on the lowercase variant only; transform.py:615-621 adds the
+    # capitalized variants implicitly
+    out = apply_id_update_map(df, ["id"], {"bfo:0000030": "BFO:0000030"})
+    got = sorted(r["id"] for r in out.collect())
+    assert got == ["BFO:0000030", "BFO:0000030", "BFO:0000030", "GO:0000001"]
+
+
+def test_connected_components_chain_and_singleton(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("d", "c"), ("x", "y")], "u string, v string"
+    )
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("x",), ("y",), ("z",)], "id string")
+    cc = {r["id"]: r["component"] for r in connected_components(edges, nodes).collect()}
+    assert cc == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x", "z": "z"}
+
+
+def test_connected_components_pathological_chain(spark):
+    # long chain converges in O(log n) star rounds, not O(n)
+    n = 64
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)], "u string, v string"
+    )
+    cc = connected_components(edges)
+    comps = {r["component"] for r in cc.collect()}
+    assert comps == {"n000"}
+    assert cc.count() == n + 1
+
+
+def test_union_find_matches_distributed(spark):
+    pairs = [("b", "a"), ("c", "b"), ("e", "d"), ("f", "e"), ("a", "f")]
+    uf = union_find(pairs)
+    edges = spark.createDataFrame(pairs, "u string, v string")
+    dist = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    for k, v in uf.items():
+        assert dist[k] == v
+
+
+def test_canonical_map_min_curie(spark):
+    terms = spark.createDataFrame([("GO:2",), ("GO:1",), ("GO:3",)], "id string")
+    eq = spark.createDataFrame([("GO:2", "GO:1")], "a string, b string")
+    m = {r["term_id"]: r["canonical_id"] for r in canonical_map(terms, eq).collect()}
+    assert m == {"GO:2": "GO:1"}  # only changed mappings are materialized

@@ -1,0 +1,77 @@
+"""End-to-end: triple P/R vs the independent pure-Python oracle (>= 0.95 gate,
+BASELINE.json metric), crash/resume identity, lock semantics, lineage."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kg_obo_spark.datagen import build_ontology, generate_transcripts
+from kg_obo_spark.oracle.pyoracle import oracle_triples, precision_recall
+from kg_obo_spark.plans.pipeline import run_pipeline
+from kg_obo_spark.plans.tracking import TrackingStore
+from kg_obo_spark.sources.tableio import Lock, LockHeldError
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark, onto):
+    return generate_transcripts(spark, n_convs=120, seed=11, ontology=onto).cache()
+
+
+def test_end_to_end_triples_pr(spark, onto, transcripts, tmp_path):
+    res = run_pipeline(spark, transcripts, onto, str(tmp_path / "kg"))
+    got = {(r["subject"], r["predicate"], r["object"]) for r in res.edges.collect()}
+    rows = [(r["conv_id"], r["turn_idx"], r["text"]) for r in transcripts.collect()]
+    expected = oracle_triples(rows, onto)
+    p, r = precision_recall(got, expected)
+    assert p >= 0.95 and r >= 0.95, f"P={p:.4f} R={r:.4f}"
+    # in fact the implementations agree exactly on synthetic data
+    assert (p, r) == (1.0, 1.0)
+
+
+def test_crash_resume_identical_output(spark, onto, transcripts, tmp_path):
+    full_root = str(tmp_path / "full")
+    res_full = run_pipeline(spark, transcripts, onto, full_root, n_buckets=4)
+    crash_root = str(tmp_path / "crash")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_pipeline(
+            spark, transcripts, onto, crash_root,
+            n_buckets=4, unit_batch_size=1, fail_after_batches=2,
+        )
+    # resume: skips the 2 committed units, finishes the rest
+    res2 = run_pipeline(spark, transcripts, onto, crash_root, n_buckets=4, unit_batch_size=1)
+    assert len(res2.units_skipped) == 2
+    full = {(r["subject"], r["predicate"], r["object"]) for r in res_full.edges.collect()}
+    resumed = {(r["subject"], r["predicate"], r["object"]) for r in res2.edges.collect()}
+    assert full == resumed
+    nodes_full = {r["id"] for r in res_full.nodes.collect()}
+    nodes_resumed = {r["id"] for r in res2.nodes.collect()}
+    assert nodes_full == nodes_resumed
+
+
+def test_lock_blocks_concurrent_run(spark, onto, transcripts, tmp_path):
+    root = str(tmp_path / "locked")
+    lock = Lock(f"{root}/_lock")
+    lock.acquire()
+    try:
+        with pytest.raises(LockHeldError):
+            run_pipeline(spark, transcripts, onto, root)
+    finally:
+        lock.release()
+    # lock is released after a successful run
+    run_pipeline(spark, transcripts, onto, root)
+    assert not lock.held()
+
+
+def test_lineage_and_tracking_written(spark, onto, transcripts, tmp_path):
+    root = str(tmp_path / "lin")
+    res = run_pipeline(spark, transcripts, onto, root, n_buckets=2)
+    store = TrackingStore(root)
+    lin = store.lineage.read(spark)
+    stages = {r["stage"] for r in lin.select("stage").distinct().collect()}
+    assert {"extract+link", "co_edges", "materialize_nodes", "materialize_edges", "unit_done"} <= stages
+    # per-partition metrics rows exist
+    assert lin.filter(F.col("partition_id") >= 0).count() > 0
+    # tracking rotation recorded the ontology version
+    t = store.read_tracking(spark).filter(F.col("source") == onto.name).first()
+    assert t["current_version"] == onto.version
+    assert store.transformed_exists(spark, onto.name, onto.version)
+    assert not store.transformed_exists(spark, onto.name, "nope")
