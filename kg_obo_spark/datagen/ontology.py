@@ -79,11 +79,14 @@ class Ontology:
 
 
 def _label(rng: random.Random, used: set[str]) -> str:
-    while True:
-        lbl = f"{rng.choice(_ADJ)} {rng.choice(_NOUN)}"
-        if lbl not in used:
-            used.add(lbl)
-            return lbl
+    for n_adj in (1, 2, 3):  # widen when 2-word space exhausts (big dictionaries)
+        for _ in range(40):
+            words = [rng.choice(_ADJ) for _ in range(n_adj)] + [rng.choice(_NOUN)]
+            lbl = " ".join(words)
+            if lbl not in used:
+                used.add(lbl)
+                return lbl
+    raise RuntimeError("label space exhausted")
 
 
 def build_ontology(n_terms: int = 240, seed: int = 7) -> Ontology:

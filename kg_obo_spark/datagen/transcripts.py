@@ -90,9 +90,16 @@ def _surface_variants(term: dict) -> list[str]:
 
 
 def _gen_for_convs(
-    conv_ids: np.ndarray, seed: int, onto_terms: list[dict]
+    conv_ids: np.ndarray,
+    seed: int,
+    onto_terms: list[dict],
+    sentences_range: tuple[int, int] = (1, 1),
 ) -> pd.DataFrame:
-    """Emit all turns for a batch of conversation ids (vectorized where it counts)."""
+    """Emit all turns for a batch of conversation ids (vectorized where it counts).
+
+    ``sentences_range=(lo, hi)``: sentences per turn — (1,1) for the small test
+    corpora; the bench uses a wider range so per-turn extraction cost is
+    representative of real transcripts (hundreds of chars, several mentions)."""
     n_terms = len(onto_terms)
     variants = [_surface_variants(t) for t in onto_terms]
 
@@ -110,28 +117,45 @@ def _gen_for_convs(
 
     role_idx = rand.zipf_indices(seed, tkey, 2, len(_ROLES), alpha=1.0)
     tool_idx = rand.randint(seed, tkey, 3, len(_TOOLS))
-    # mentions per turn: 0..3, biased toward 1-2; ~15% of turns empty
-    m_draw = rand.uniform(seed, tkey, 4)
-    n_mentions = np.select(
-        [m_draw < 0.15, m_draw < 0.50, m_draw < 0.85], [0, 1, 2], default=3
-    )
-    tmpl_idx = rand.randint(seed, tkey, 5, 4)
+    lo, hi = sentences_range
+    n_sent = lo + (rand.randint(seed, tkey, 6, hi - lo + 1) if hi > lo else 0)
 
-    # term choices (Zipf-hot) and surface-variant choices per slot
-    term_sel = [rand.zipf_indices(seed, tkey, 10 + s, n_terms, alpha=1.2) for s in range(3)]
-    var_draw = [rand.uniform(seed, tkey, 20 + s) for s in range(3)]
+    # per-sentence draws, slot-offset by sentence index j
+    max_sent = hi
+    sent_draws = []
+    for j in range(max_sent):
+        base = 100 + j * 30
+        m_draw = rand.uniform(seed, tkey, base + 4)
+        n_mentions = np.select(
+            [m_draw < 0.15, m_draw < 0.50, m_draw < 0.85], [0, 1, 2], default=3
+        )
+        tmpl_idx = rand.randint(seed, tkey, base + 5, 4)
+        term_sel = [
+            rand.zipf_indices(seed, tkey, base + 10 + s, n_terms, alpha=1.2)
+            for s in range(3)
+        ]
+        var_draw = [rand.uniform(seed, tkey, base + 20 + s) for s in range(3)]
+        sent_draws.append((n_mentions, tmpl_idx, term_sel, var_draw))
 
     texts = []
     roles = []
     tools = []
     for i in range(total):
-        k = int(n_mentions[i])
-        tmpl = _TEMPLATES_BY_SLOTS[k][int(tmpl_idx[i]) % len(_TEMPLATES_BY_SLOTS[k])]
-        subs = {}
-        for s in range(k):
-            forms = variants[int(term_sel[s][i])]
-            subs[f"m{s}"] = forms[int(var_draw[s][i] * len(forms))]
-        texts.append(tmpl.format(**subs) if k else tmpl)
+        ns = int(n_sent[i]) if hi > lo else lo
+        parts = []
+        for j in range(ns):
+            n_mentions, tmpl_idx, term_sel, var_draw = sent_draws[j]
+            k = int(n_mentions[i])
+            tmpl = _TEMPLATES_BY_SLOTS[k][int(tmpl_idx[i]) % len(_TEMPLATES_BY_SLOTS[k])]
+            if k:
+                subs = {}
+                for s in range(k):
+                    forms = variants[int(term_sel[s][i])]
+                    subs[f"m{s}"] = forms[int(var_draw[s][i] * len(forms))]
+                parts.append(tmpl.format(**subs))
+            else:
+                parts.append(tmpl)
+        texts.append(" ".join(parts))
         r = _ROLES[int(role_idx[i])]
         roles.append(r)
         tools.append(_TOOLS[int(tool_idx[i])] if r == "tool" else "")
@@ -158,27 +182,47 @@ def generate_transcripts(
     seed: int = 42,
     ontology: Ontology | None = None,
     num_partitions: int | None = None,
+    sentences_range: tuple[int, int] = (1, 1),
 ) -> DataFrame:
     """Distributed deterministic transcripts DataFrame (~9 turns/conversation)."""
     onto = ontology or build_ontology()
     terms = onto.terms  # small; ships in the task closure once per executor
     seed_ = int(seed)
+    srange = tuple(sentences_range)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _gen_for_convs(pdf["id"].to_numpy(np.int64), seed_, terms)
+                yield _gen_for_convs(
+                    pdf["id"].to_numpy(np.int64), seed_, terms, srange
+                )
 
     rng = spark.range(n_convs, numPartitions=num_partitions)
     return rng.mapInPandas(gen, schema=SCHEMA)
 
 
 def write_transcripts(
-    spark: SparkSession, path: str, n_convs: int = 1000, seed: int = 42
+    spark: SparkSession,
+    path: str,
+    n_convs: int = 1000,
+    seed: int = 42,
+    num_files: int | None = None,
+    ontology: Ontology | None = None,
+    sentences_range: tuple[int, int] = (1, 1),
 ) -> None:
-    """Materialize to Parquet, bucket-friendly layout: repartitioned by conv_id so
-    downstream per-conversation stages read co-located data (SURVEY §4 item 4)."""
-    df = generate_transcripts(spark, n_convs=n_convs, seed=seed)
-    df.repartition("conv_id").sortWithinPartitions("conv_id", "turn_idx").write.mode(
-        "overwrite"
-    ).parquet(path)
+    """Materialize to Parquet, bucket-friendly layout: hash-partitioned by
+    conv_id so downstream per-conversation stages read co-located data
+    (SURVEY §4 item 4).
+
+    ``num_files`` fixes the file count independent of the writing session's
+    parallelism — readers at any core count then get the same split layout
+    (required for the N-vs-4N scaling comparison to be apples-to-apples)."""
+    if num_files is None:
+        num_files = max(64, n_convs // 2000)
+    df = generate_transcripts(
+        spark, n_convs=n_convs, seed=seed, ontology=ontology,
+        sentences_range=sentences_range,
+    )
+    df.repartition(num_files, "conv_id").sortWithinPartitions(
+        "conv_id", "turn_idx"
+    ).write.mode("overwrite").parquet(path)

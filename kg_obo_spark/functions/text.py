@@ -1,0 +1,152 @@
+"""Text-analysis functions over document/transcript text.
+
+All of these are native `pyspark.sql.functions` column expressions — JVM-side,
+inside whole-stage codegen, no Python in the hot path. Each has an exact ANSI-SQL
+mirror (see __spark_entry__.oracle_sql) so the driver's DuckDB check can verify
+values, not just row counts.
+
+Operators: token counting (whitespace + BPE-ish word-piece regex), quality
+scoring (length/alpha/punct/stopword ratios), language ID (marker-word n-gram
+heuristic), document fingerprinting (normalized md5 + rolling hash).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic marker-word lists for the language-ID heuristic. Tiny on
+# purpose: the point is the Spark shape (vectorized scoring + argmax), not
+# linguistic coverage.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ein"],
+    "en": ["the", "and", "of", "to", "is", "in", "that"],
+    "es": ["el", "los", "las", "una", "que", "es", "y"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un"],
+}
+
+STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of trimmed text (empty string -> empty array)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: F.length(t) > 0)
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def wordpiece_count(col: Column) -> Column:
+    """BPE-ish sub-word count: alphabetic runs, digit runs, and single
+    punctuation marks each count as one piece (a cheap proxy for tokenizer
+    load estimation at corpus scale)."""
+    return F.size(
+        F.filter(
+            F.split(col, r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+            lambda t: F.trim(t) != "",
+        )
+    )
+
+
+def alpha_ratio(col: Column) -> Column:
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(col, "[^A-Za-z]", "")) / F.length(col)
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(col, r"[^.,;:!?]", "")) / F.length(col)
+    )
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(hits / F.size(toks))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality score in [~0, 1]: rewards length (saturating at 500
+    chars), alphabetic density and stopword naturalness; penalizes punctuation
+    soup. Deterministic, documented formula (mirrored in SQL)."""
+    length_term = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+    return F.round(
+        0.4 * length_term
+        + 0.3 * alpha_ratio(col)
+        + 0.3 * stopword_ratio(col)
+        - 0.2 * punct_ratio(col),
+        6,
+    )
+
+
+def lang_marker_hits(col: Column, lang: str) -> Column:
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language by marker-word hits; ties broken by language code asc;
+    zero hits everywhere -> 'und' (undetermined)."""
+    scored = [(lang, lang_marker_hits(col, lang)) for lang in sorted(LANG_MARKERS)]
+    best = scored[0]
+    for lang, hits in scored[1:]:
+        # strictly greater wins => earlier (asc) language keeps ties
+        best = (
+            F.when(hits > best[1], F.lit(lang)).otherwise(
+                best[0] if isinstance(best[0], Column) else F.lit(best[0])
+            ),
+            F.greatest(hits, best[1]),
+        )
+    return F.when(best[1] == 0, F.lit("und")).otherwise(best[0])
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Normalized-content fingerprint: md5 of lowercased, whitespace-collapsed,
+    trimmed text — the exact-near-dup key."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
+
+
+ROLLING_BASE = np.uint64(1099511628211)
+ROLLING_SEED = np.uint64(14695981039346656037)
+
+
+def rolling_hash_frame(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """FNV-1a-style rolling hash over UTF-8 bytes, vectorized with numpy inside
+    an Arrow batch stage (no per-row Python UDF). Not SQL-expressible —
+    rows-only oracle check. Output adds ``rolling_hash`` (stringified uint64,
+    stable across platforms)."""
+
+    def h(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for s in pdf[text_col].astype(str):
+                # polynomial hash sum(b_i * BASE^(n-1-i)) mod 2^64, fully
+                # numpy-vectorized per string (wraparound is the modulus)
+                arr = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+                if len(arr) == 0:
+                    out.append(str(int(ROLLING_SEED)))
+                    continue
+                powers = np.empty(len(arr), dtype=np.uint64)
+                powers[-1] = np.uint64(1)
+                if len(arr) > 1:
+                    powers[:-1] = np.multiply.accumulate(
+                        np.full(len(arr) - 1, ROLLING_BASE, dtype=np.uint64)
+                    )[::-1]
+                acc = np.uint64(
+                    (int(ROLLING_SEED) + int(np.sum(arr * powers, dtype=np.uint64)))
+                    % 2**64
+                )
+                out.append(str(int(acc)))
+            yield pdf.assign(rolling_hash=out)
+
+    in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInPandas(h, schema=f"{in_schema}, rolling_hash string")

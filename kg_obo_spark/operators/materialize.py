@@ -56,15 +56,28 @@ def canonical_mentions(mentions: DataFrame, canon_map: DataFrame) -> DataFrame:
     )
 
 
+def per_turn_terms(mentions: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, terms): sorted distinct canonical ids per turn.
+
+    This is the pivotal reduction of the pipeline: the only shuffle that sees
+    the full mention volume. Everything downstream (pairs, node set, is_a)
+    derives from this much smaller frame — persist THIS, never raw mentions.
+    """
+    return mentions.groupBy("conv_id", "turn_idx").agg(
+        F.sort_array(F.collect_set("term_id")).alias("terms")
+    )
+
+
 def co_mention_pairs(mentions: DataFrame) -> DataFrame:
     """Distinct unordered (a < b) canonical-id pairs per (conv_id, turn_idx).
 
     Pair expansion is pure column expressions over the sorted distinct term
     array of each turn — no self-join, no Python.
     """
-    per_turn = mentions.groupBy("conv_id", "turn_idx").agg(
-        F.sort_array(F.collect_set("term_id")).alias("terms")
-    )
+    return pairs_from_per_turn(per_turn_terms(mentions))
+
+
+def pairs_from_per_turn(per_turn: DataFrame) -> DataFrame:
     pairs = per_turn.filter(F.size("terms") >= 2).select(
         "conv_id",
         "turn_idx",
@@ -102,15 +115,36 @@ def build_edges(
     return co.unionByName(build_isa_edges(mentions, onto))
 
 
+def edges_from_per_turn(per_turn: DataFrame, onto: Ontology) -> DataFrame:
+    """Full KGX edge table from the per-turn term arrays: distinct co-mention
+    edges + is_a edges between mentioned terms. This is the scale path — the
+    raw mentions are reduced once by per_turn_terms and never rescanned."""
+    ks = F.lit(onto.knowledge_source)
+    co = pairs_from_per_turn(per_turn).select(
+        F.col("a").alias("subject"),
+        F.lit(CO_MENTION_PREDICATE).alias("predicate"),
+        F.col("b").alias("object"),
+        F.lit(CO_MENTION_RELATION).alias("relation"),
+        ks.alias("knowledge_source"),
+    ).distinct()
+    mentioned = per_turn.select(F.explode("terms").alias("id")).distinct()
+    return co.unionByName(isa_from_mentioned(mentioned, onto))
+
+
 def build_isa_edges(mentions: DataFrame, onto: Ontology) -> DataFrame:
-    """is_a edges of the ontology restricted to terms mentioned anywhere.
+    """is_a edges of the ontology restricted to terms mentioned anywhere."""
+    mentioned = mentions.select(F.col("term_id").alias("id")).distinct()
+    return isa_from_mentioned(mentioned, onto)
+
+
+def isa_from_mentioned(mentioned: DataFrame, onto: Ontology) -> DataFrame:
+    """is_a edges whose endpoints are both in the mentioned-id set.
 
     The mentioned-id set is tiny relative to the input, so both semi-joins run
     against a broadcast of it; at 100 TB the distinct() is the only shuffle and
     is bounded by dictionary size, not corpus size."""
-    spark = mentions.sparkSession
+    spark = mentioned.sparkSession
     isa = spark.createDataFrame(onto.is_a, "subject string, object string")
-    mentioned = mentions.select(F.col("term_id").alias("id")).distinct()
     m1 = mentioned.withColumnRenamed("id", "_sid")
     m2 = mentioned.withColumnRenamed("id", "_oid")
     return (

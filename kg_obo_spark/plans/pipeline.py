@@ -24,6 +24,7 @@ ids — tiny relative to input).
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 from dataclasses import dataclass, field
@@ -104,27 +105,30 @@ def run_pipeline(
             sub = tr.filter(F.col("bucket").isin(units))
             mentions = extract_mentions(sub, onto)
             cm = canonical_mentions(mentions, cmap)
-            cm = cm.localCheckpoint()  # one scan feeds both edge + mention sinks
-            co = build_edges(cm, onto, include_isa=False)
 
             n_in = sub.count()
+            # one extraction pass: commit mentions, then derive edges from the
+            # just-written parquet (never rescan the corpus, never recompute
+            # the Arrow extraction stage)
             snap_m = mentions_t.commit(cm, mode="append", meta={"units": units})
+            batch_mentions = spark.read.parquet(json.loads(snap_m.data_dir)[-1])
+            co = build_edges(batch_mentions, onto, include_isa=False)
             snap_e = co_edges_t.commit(co, mode="append", meta={"units": units})
             store.log_stage(
                 spark,
                 run_id,
                 "extract+link",
                 rows_in=n_in,
-                rows_out=snap_m.row_count,
+                rows_out=snap_m.meta["batch_rows"],
                 snapshot_id=snap_m.snapshot_id,
-                per_partition=partition_metrics(cm),
+                per_partition=partition_metrics(batch_mentions),
             )
             store.log_stage(
                 spark,
                 run_id,
                 "co_edges",
-                rows_in=snap_m.row_count,
-                rows_out=snap_e.row_count,
+                rows_in=snap_m.meta["batch_rows"],
+                rows_out=snap_e.meta["batch_rows"],
                 snapshot_id=snap_e.snapshot_id,
             )
             for u in units:

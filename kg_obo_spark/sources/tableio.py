@@ -100,6 +100,7 @@ class Table:
         data_dir = os.path.join(self.root, f"data-{snap_id}")
         df.write.mode("overwrite").parquet(data_dir)
         n = df.sparkSession.read.parquet(data_dir).count()
+        meta["batch_rows"] = n
         dirs = [data_dir]
         total = n
         if mode == "append" and prev is not None:

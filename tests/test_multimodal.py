@@ -1,0 +1,53 @@
+"""Multimodal binary-column plumbing: schema, payload stats, decode stub."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kg_obo_spark.operators.multimodal import (
+    decode_stub,
+    frame_sample_plan,
+    media_from_documents,
+    payload_stats,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello world", "en", "src0", 11), (2, "bonjour", "fr", "src1", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_media_schema_and_payload(spark):
+    media = media_from_documents(_docs(spark))
+    assert dict(media.dtypes)["payload"] == "binary"
+    row = media.filter(F.col("media_id") == 1).first()
+    assert bytes(row["payload"]) == b"hello world"
+    assert row["meta"]["lang"] == "en"
+
+
+def test_payload_stats_no_decode(spark):
+    stats = {r["media_id"]: r for r in payload_stats(media_from_documents(_docs(spark))).collect()}
+    assert stats[1]["n_bytes"] == 11
+    assert len(stats[1]["sha256"]) == 64
+
+
+def test_decode_stub_deterministic(spark):
+    media = media_from_documents(_docs(spark))
+    a = {r["media_id"]: (r["width"], r["height"], r["duration_ms"]) for r in decode_stub(media).collect()}
+    b = {r["media_id"]: (r["width"], r["height"], r["duration_ms"]) for r in decode_stub(media).collect()}
+    assert a == b
+    assert all(0 <= w < 4096 for w, _, _ in a.values())
+
+
+def test_decode_strict_raises(spark):
+    media = media_from_documents(_docs(spark))
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        decode_stub(media, strict=True).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = media_from_documents(_docs(spark))
+    plan = frame_sample_plan(media, every_ms=100000)
+    rows = plan.groupBy("media_id").count().collect()
+    assert all(r["count"] >= 1 for r in rows)

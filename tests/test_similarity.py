@@ -1,0 +1,71 @@
+"""Similarity search: exact brute-force cosine top-k and IVF recall."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from kg_obo_spark.operators.similarity import (
+    cosine_topk,
+    deterministic_centroids,
+    ivf_assign,
+    ivf_topk,
+)
+
+
+def _emb(spark, n=50, dim=8):
+    # deterministic vectors: v[i][j] = sin(i*dim + j) — no RNG
+    rows = [
+        (i, [math.sin(i * dim + j) for j in range(dim)], i % 3) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_cosine_topk_self_is_rank1(spark):
+    emb = _emb(spark)
+    out = cosine_topk(emb, _queries(emb), k=5)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out.filter(F.col("rank") == 1).collect()}
+    assert top1 == {0: 0, 1: 1}  # self-similarity = 1.0
+    assert out.count() == 10
+    # ranks are deterministic and dense 1..5 per query
+    ranks = [r["rank"] for r in out.filter(F.col("query_id") == 0).orderBy("rank").collect()]
+    assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    emb = _emb(spark, n=40)
+    out = cosine_topk(emb, _queries(emb), k=3).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    for q in (0, 1):
+        sims = {
+            i: float(v @ vecs[q] / (np.linalg.norm(v) * np.linalg.norm(vecs[q])))
+            for i, v in vecs.items()
+        }
+        expected = [i for i, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:3]]
+        got = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"]) if r["query_id"] == q]
+        assert got == expected
+
+
+def test_ivf_assign_covers_all(spark):
+    emb = _emb(spark)
+    cents = deterministic_centroids(emb, n_centroids=4)
+    assigned = ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()
+    assert assigned.select("centroid_id").distinct().count() <= 4
+
+
+def test_ivf_recall_vs_exact(spark):
+    emb = _emb(spark, n=60)
+    q = _queries(emb)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in
+              ivf_topk(emb, q, k=5, n_centroids=6, nprobe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6  # approximate path trades recall for pruning

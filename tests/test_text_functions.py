@@ -1,0 +1,58 @@
+"""Text-analysis functions: token counts, quality, lang-id, fingerprints."""
+
+from pyspark.sql import functions as F
+
+from kg_obo_spark.functions.text import (
+    fingerprint_md5,
+    lang_id,
+    quality_score,
+    rolling_hash_frame,
+    token_count,
+    wordpiece_count,
+)
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(col.alias("v")).first()["v"]
+
+
+def test_token_count(spark):
+    assert _one(spark, "a b  c", token_count(F.col("text"))) == 3
+    assert _one(spark, "   ", token_count(F.col("text"))) == 0
+    assert _one(spark, "", token_count(F.col("text"))) == 0
+
+
+def test_wordpiece_count(spark):
+    # "spark-4.1 rocks!" -> spark, -, 4, ., 1, rocks, !
+    assert _one(spark, "spark-4.1 rocks!", wordpiece_count(F.col("text"))) == 7
+
+
+def test_quality_score_monotone_in_length(spark):
+    short = _one(spark, "the cat", quality_score(F.col("text")))
+    long = _one(spark, "the cat sat on the mat and it is a fine day " * 10,
+                quality_score(F.col("text")))
+    assert long > short
+
+
+def test_lang_id(spark):
+    assert _one(spark, "the cat and the dog of it", lang_id(F.col("text"))) == "en"
+    assert _one(spark, "der Hund und die Katze ist", lang_id(F.col("text"))) == "de"
+    assert _one(spark, "le chat et la souris est", lang_id(F.col("text"))) == "fr"
+    assert _one(spark, "xyzzy plugh", lang_id(F.col("text"))) == "und"
+
+
+def test_fingerprint_normalization(spark):
+    a = _one(spark, "Hello   World", fingerprint_md5(F.col("text")))
+    b = _one(spark, "  hello world ", fingerprint_md5(F.col("text")))
+    c = _one(spark, "hello worlds", fingerprint_md5(F.col("text")))
+    assert a == b != c
+
+
+def test_rolling_hash_deterministic(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "abd"), (3, "abc")], "id long, text string")
+    out = {r["id"]: r["rolling_hash"] for r in rolling_hash_frame(df).collect()}
+    assert out[1] == out[3] != out[2]
+    # stable value (platform-independent FNV-ish polynomial)
+    again = {r["id"]: r["rolling_hash"] for r in rolling_hash_frame(df).collect()}
+    assert out == again

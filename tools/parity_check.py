@@ -1,0 +1,95 @@
+"""Local simulation of the driver's correctness gate: run every
+__spark_entry__.queries() entry on Spark and its oracle_sql() in DuckDB on the
+same sf dir; compare row count, column names, and an order-insensitive value
+hash (columns sorted by name, floats rounded to 9 significant-ish decimals).
+
+Usage: python tools/parity_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from kg_obo_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(np.float64).round(9)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype(bool)
+        else:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="parity", master="local[8]")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            spdf = sdf.toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(spdf)} rows)")
+            if len(spdf) == 0 and name != "dedup_simhash":
+                print(f"     WARNING: {name} returned 0 rows")
+            continue
+        try:
+            opdf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"ORACLE ERROR: {e}"))
+            print(f"FAIL {name}: oracle error: {e}")
+            continue
+        a, b = canon(spdf), canon(opdf)
+        if list(a.columns) != list(b.columns):
+            failures.append((name, f"columns {list(a.columns)} vs {list(b.columns)}"))
+            print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
+            continue
+        if len(a) != len(b):
+            failures.append((name, f"rows {len(a)} vs {len(b)}"))
+            print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
+            continue
+        if not a.equals(b):
+            neq = (a != b).any(axis=1)
+            failures.append((name, "value mismatch"))
+            print(f"FAIL {name}: value mismatch, first diffs:")
+            print(pd.concat([a[neq].head(3), b[neq].head(3)]))
+            continue
+        print(f"PASS {name}: {len(a)} rows")
+    print(f"\n{len(queries) - len(failures)}/{len(queries)} ok")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
