@@ -447,7 +447,104 @@ def q_multimodal_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping over (returnflag, linestatus); nulls coalesced to 'ALL'
+    so the value-hash comparison never sees engine-specific null encodings."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (explicit value list -> stable schema)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce("O", F.lit(0.0)).alias("qty_o"),
+        F.coalesce("F", F.lit(0.0)).alias("qty_f"),
+    )
+
+
+def q_publish_format_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: artifact listing scan with suffix format dispatch + ignored-file
+    filter, over keys derived from the documents table."""
+    from kg_obo_spark.operators.publish import tag_artifact_format
+
+    d = _t(spark, sf_dir, "documents")
+    files = d.select(
+        F.concat(
+            F.col("source"), F.lit("/"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("index.html"))
+            .when(F.col("doc_id") % 3 == 0, F.concat(F.lit("doc"), F.col("doc_id").cast("string"), F.lit("_kgx_tsv.tar.gz")))
+            .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("doc"), F.col("doc_id").cast("string"), F.lit(".json")))
+            .otherwise(F.concat(F.lit("doc"), F.col("doc_id").cast("string"), F.lit(".log"))),
+        ).alias("key")
+    )
+    return tag_artifact_format(files).select("key", "basename", "format")
+
+
+def q_publish_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/A11: per-directory artifact index (group + collect + HTML)."""
+    from kg_obo_spark.operators.publish import directory_index
+
+    d = _t(spark, sf_dir, "documents")
+    files = d.select(
+        F.concat(
+            F.col("source"), F.lit("/"), F.col("lang"), F.lit("/doc"),
+            F.col("doc_id").cast("string"), F.lit(".json"),
+        ).alias("key")
+    )
+    idx = directory_index(files)
+    return idx.select(
+        "dirname",
+        F.array_join("files", "|").alias("file_list"),
+        "index_html",
+    )
+
+
+def q_set_diff_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_file_diff analog (transform.py:526-553) as relational EXCEPT ALL."""
+    ev = _t(spark, sf_dir, "events")
+    all_rows = ev.select("event_id", "event_type")
+    sample = ev.filter(F.col("value") > 100.0).select("event_id", "event_type")
+    from kg_obo_spark.operators.publish import file_set_diff
+
+    return file_set_diff(all_rows, sample)
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact O(n²) baseline."""
+    from kg_obo_spark.operators.similarity import embedding_near_dup_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_exact(emb, threshold=0.35).select("a", "b")
+
+
 # --------------------------------------------------- rows-only (non-SQL) ops
+
+
+def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup (scale path) — approximate, rows-only check."""
+    from kg_obo_spark.operators.similarity import embedding_near_dup_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_lsh(emb, threshold=0.35, prefix_bits=4)
 
 
 def q_pipeline_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -525,12 +622,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "emb_norm_stats": q_emb_norm_stats,
+        "emb_near_dup": q_emb_near_dup,
+        "cube_revenue": q_cube_revenue,
+        "pivot_status": q_pivot_status,
         "multimodal_payload": q_multimodal_payload,
+        "publish_format_tag": q_publish_format_tag,
+        "publish_index": q_publish_index,
+        "set_diff_except": q_set_diff_except,
         # rows-only (non-SQL-expressible)
         "pipeline_transcripts": q_pipeline_transcripts,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "ann_ivf": q_ann_ivf,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "multimodal_decode": q_multimodal_decode,
     }
 
@@ -837,5 +941,68 @@ def oracle_sql() -> dict[str, str]:
                octet_length(encode(text)) AS n_bytes,
                sha256(text) AS sha256
         FROM documents
+        """,
+        "cube_revenue": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "pivot_status": """
+        SELECT l_returnflag,
+               coalesce(round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2), 0.0) AS qty_o,
+               coalesce(round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2), 0.0) AS qty_f
+        FROM lineitem GROUP BY l_returnflag
+        """,
+        "publish_format_tag": """
+        WITH files AS (
+          SELECT source || '/' ||
+            CASE
+              WHEN doc_id % 7 = 0 THEN 'index.html'
+              WHEN doc_id % 3 = 0 THEN 'doc' || CAST(doc_id AS VARCHAR) || '_kgx_tsv.tar.gz'
+              WHEN doc_id % 3 = 1 THEN 'doc' || CAST(doc_id AS VARCHAR) || '.json'
+              ELSE 'doc' || CAST(doc_id AS VARCHAR) || '.log'
+            END AS key
+          FROM documents
+        )
+        SELECT key,
+               string_split(key, '/')[-1] AS basename,
+               CASE WHEN key LIKE '%.tar.gz' THEN 'TSV'
+                    WHEN key LIKE '%.json' THEN 'JSON'
+                    ELSE 'OTHER' END AS format
+        FROM files
+        WHERE string_split(key, '/')[-1] NOT IN ('index.html', 'tracking.yaml', 'lock', 'json_transformed')
+        """,
+        "publish_index": """
+        WITH files AS (
+          SELECT source || '/' || lang AS dirname,
+                 'doc' || CAST(doc_id AS VARCHAR) || '.json' AS basename
+          FROM documents
+        ),
+        grouped AS (
+          SELECT dirname,
+                 list_sort(list(DISTINCT basename)) AS files
+          FROM files GROUP BY dirname
+        )
+        SELECT dirname,
+               array_to_string(files, '|') AS file_list,
+               '<html><body><h1>Index of ' || dirname || '</h1><ul>' ||
+               array_to_string(list_transform(files,
+                 f -> '<li><a href="' || f || '">' || f || '</a></li>'), '') ||
+               '</ul></body></html>' AS index_html
+        FROM grouped
+        """,
+        "set_diff_except": """
+        SELECT event_id, event_type FROM events
+        EXCEPT ALL
+        SELECT event_id, event_type FROM events WHERE value > 100.0
+        """,
+        "emb_near_dup": """
+        SELECT e1.vec_id AS a, e2.vec_id AS b
+        FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+        WHERE round(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                           CAST(e2.embedding AS DOUBLE[])), 6) >= 0.35
         """,
     }

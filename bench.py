@@ -33,7 +33,7 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "200000"))
-BENCH_TERMS = int(os.environ.get("SPARK_GRAFT_BENCH_TERMS", "2000"))
+BENCH_TERMS = int(os.environ.get("SPARK_GRAFT_BENCH_TERMS", "5000"))
 BENCH_SENTENCES = (2, 6)  # multi-sentence turns: realistic per-turn text volume
 CACHE_DIR = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/kg_obo_spark_bench")
 
@@ -103,18 +103,24 @@ def run_pipeline_bench(spark, transcripts_path: str) -> dict:
     # timed window measures steady-state throughput (what a long job sees)
     _noop(extract_mentions(tr.limit(2000), onto))
 
-    t0 = time.time()
-    mentions = extract_mentions(tr, onto)
-    cm = canonical_mentions(mentions, cmap)
-    # single reduction of the full mention volume; downstream branches reuse
-    # this small frame (persist+materialize: two un-materialized consumers in
-    # one job run concurrently and would re-run the extraction)
-    pt = per_turn_terms(cm).persist()
-    pt.count()
-    edges = edges_from_per_turn(pt, onto)
-    n_triples = edges.count()
-    wall = time.time() - t0
-    pt.unpersist()
+    # two timed passes, keep the min: the steady-state number a long-running
+    # job sees (first pass pays page-cache/JIT/codegen warmup, which at high
+    # parallelism is a larger share of a shorter wall)
+    wall = float("inf")
+    n_triples = 0
+    for _ in range(2):
+        t0 = time.time()
+        mentions = extract_mentions(tr, onto)
+        cm = canonical_mentions(mentions, cmap)
+        # single reduction of the full mention volume; downstream branches
+        # reuse this small frame (persist+materialize: two un-materialized
+        # consumers in one job run concurrently and would re-run extraction)
+        pt = per_turn_terms(cm).persist()
+        pt.count()
+        edges = edges_from_per_turn(pt, onto)
+        n_triples = edges.count()
+        wall = min(wall, time.time() - t0)
+        pt.unpersist()
     return {
         "turns": n_turns,
         "triples": n_triples,
@@ -182,12 +188,24 @@ def run_scaling(reps: int = 3, levels: tuple[int, ...] = (2, 8, 32)) -> None:
     (noisy neighbor + a measured 32-thread shuffle-I/O pathology documented in
     BENCH/BASELINE.md), and the min is the least-contaminated estimate of each
     level's true capability."""
+    import shutil as _shutil
+
+    taskset = _shutil.which("taskset")
     runs: dict[int, list[dict]] = {c: [] for c in levels}
     for _ in range(reps):
         for cpus in levels:
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+            cmd = [sys.executable, os.path.abspath(__file__), "--pipeline-only"]
+            if taskset:
+                # pin the WHOLE process tree (JVM + Python workers) to exactly
+                # `cpus` hardware threads: a local[N] Spark job otherwise uses
+                # N task threads PLUS N Python worker processes, i.e. >N cores,
+                # which overstates small-N throughput and understates scaling.
+                # With affinity, "N cores" genuinely means N cores — the honest
+                # emulation of an N-core cluster slice.
+                cmd = [taskset, "-c", f"0-{cpus - 1}"] + cmd
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--pipeline-only"],
+                cmd,
                 env=env,
                 capture_output=True,
                 text=True,
@@ -225,7 +243,12 @@ def run_scaling(reps: int = 3, levels: tuple[int, ...] = (2, 8, 32)) -> None:
             "KG-construction job (extract -> canonicalize -> per-turn reduce ->\n"
             "materialize edges) on byte-identical cached Parquet input at\n"
             "several parallelism levels in fresh JVMs (bench.py --scaling;\n"
-            "best-of-3 interleaved runs per level).\n\n"
+            "best-of-3 interleaved runs per level; two timed passes per JVM,\n"
+            "min kept = steady-state). Each level is pinned with\n"
+            "`taskset -c 0-(N-1)` so local[N]'s JVM task threads AND its\n"
+            "Python workers share exactly N hardware threads — without\n"
+            "pinning, local[2] silently consumes ~3 cores (Python workers are\n"
+            "extra processes) and deflates the measured speedup.\n\n"
             "| parallelism | turns | triples | wall (s) | triples/sec | turns/sec | all runs (s) |\n"
             "|---|---|---|---|---|---|---|\n"
             f"{rows}\n\n"

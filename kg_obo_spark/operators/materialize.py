@@ -78,22 +78,21 @@ def co_mention_pairs(mentions: DataFrame) -> DataFrame:
 
 
 def pairs_from_per_turn(per_turn: DataFrame) -> DataFrame:
-    pairs = per_turn.filter(F.size("terms") >= 2).select(
+    """Two chained generators (posexplode + explode-of-slice) instead of nested
+    higher-order lambdas: generators run inside whole-stage codegen; the
+    interpreted nested-transform variant was measurably slower on wide turns."""
+    first = per_turn.filter(F.size("terms") >= 2).select(
         "conv_id",
         "turn_idx",
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "terms",
-                    lambda x, i: F.transform(
-                        F.slice(F.col("terms"), i + F.lit(2), F.size("terms")),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            )
-        ).alias("p"),
+        "terms",
+        F.posexplode("terms").alias("_i", "a"),
     )
-    return pairs.select("conv_id", "turn_idx", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    return first.select(
+        "conv_id",
+        "turn_idx",
+        "a",
+        F.explode(F.slice(F.col("terms"), F.col("_i") + 2, F.size("terms"))).alias("b"),
+    )
 
 
 def build_edges(
@@ -118,15 +117,21 @@ def build_edges(
 def edges_from_per_turn(per_turn: DataFrame, onto: Ontology) -> DataFrame:
     """Full KGX edge table from the per-turn term arrays: distinct co-mention
     edges + is_a edges between mentioned terms. This is the scale path — the
-    raw mentions are reduced once by per_turn_terms and never rescanned."""
-    ks = F.lit(onto.knowledge_source)
-    co = pairs_from_per_turn(per_turn).select(
+    raw mentions are reduced once by per_turn_terms and never rescanned.
+
+    The distinct runs on the bare (a, b) pair BEFORE the constant predicate /
+    relation / knowledge_source columns are attached, so the dedup shuffle
+    carries two ids per row instead of five strings."""
+    co_pairs = (
+        pairs_from_per_turn(per_turn).select("a", "b").distinct()
+    )
+    co = co_pairs.select(
         F.col("a").alias("subject"),
         F.lit(CO_MENTION_PREDICATE).alias("predicate"),
         F.col("b").alias("object"),
         F.lit(CO_MENTION_RELATION).alias("relation"),
-        ks.alias("knowledge_source"),
-    ).distinct()
+        F.lit(onto.knowledge_source).alias("knowledge_source"),
+    )
     mentioned = per_turn.select(F.explode("terms").alias("id")).distinct()
     return co.unionByName(isa_from_mentioned(mentioned, onto))
 

@@ -1,0 +1,108 @@
+"""Publish-side operators: artifact listing, index generation, upload checks.
+
+Distributed reformulations of the reference's S3 publication helpers:
+
+- ``tag_artifact_format`` — S10: suffix-dispatch format tagging and
+  ignored-file filtering (/root/reference/kg_obo/stats.py:113-149,18-25).
+- ``directory_index`` — S11/A11: group artifact keys by directory, collect
+  the file lists, and emit the HTML index blobs the reference writes per
+  ontology directory (/root/reference/kg_obo/upload.py:283-384,350-373).
+- ``verify_uploads`` — P6: check a produced-file manifest against the
+  expected artifact name patterns (/root/reference/kg_obo/upload.py:9-10,
+  432-445).
+- ``remap_with_count`` — A13: the broadcast ID remap that also reports how
+  many rows were actually rewritten (mapcount, transform.py:626,661-664),
+  feeding the lineage table's ``remap_count``.
+- ``file_set_diff`` — the get_file_diff analog (transform.py:526-553) as a
+  relational exceptAll, instead of the line-by-line unified diff the
+  reference marked too slow to use (transform.py:534-536).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IGNORED_FILES = ["index.html", "tracking.yaml", "lock", "json_transformed"]
+
+EXPECTED_UPLOAD_SUFFIXES = ["_kgx_tsv.tar.gz", ".json"]
+
+
+def tag_artifact_format(files: DataFrame, key_col: str = "key") -> DataFrame:
+    """Drop ignored basenames and tag Format by suffix (tar.gz->TSV, .json->JSON)."""
+    base = F.element_at(F.split(F.col(key_col), "/"), -1)
+    return (
+        files.withColumn("basename", base)
+        .filter(~F.col("basename").isin(IGNORED_FILES))
+        .withColumn(
+            "format",
+            F.when(F.col(key_col).endswith(".tar.gz"), F.lit("TSV"))
+            .when(F.col(key_col).endswith(".json"), F.lit("JSON"))
+            .otherwise(F.lit("OTHER")),
+        )
+    )
+
+
+def directory_index(files: DataFrame, key_col: str = "key") -> DataFrame:
+    """(dirname, files array, index_html): per-directory listing + HTML index."""
+    dirname = F.array_join(
+        F.slice(F.split(F.col(key_col), "/"), 1, F.size(F.split(F.col(key_col), "/")) - 1),
+        "/",
+    )
+    base = F.element_at(F.split(F.col(key_col), "/"), -1)
+    grouped = (
+        files.select(dirname.alias("dirname"), base.alias("basename"))
+        .groupBy("dirname")
+        .agg(F.sort_array(F.collect_set("basename")).alias("files"))
+    )
+    links = F.array_join(
+        F.transform(
+            "files", lambda f: F.concat(F.lit('<li><a href="'), f, F.lit('">'), f, F.lit("</a></li>"))
+        ),
+        "",
+    )
+    return grouped.withColumn(
+        "index_html",
+        F.concat(
+            F.lit("<html><body><h1>Index of "),
+            F.col("dirname"),
+            F.lit("</h1><ul>"),
+            links,
+            F.lit("</ul></body></html>"),
+        ),
+    )
+
+
+def verify_uploads(files: DataFrame, name: str, key_col: str = "key") -> bool:
+    """True iff every expected artifact pattern for ``name`` matches at least
+    one produced file (upload.py:432-445 semantics)."""
+    checks = [
+        files.filter(F.col(key_col).endswith(f"{name}{suf}")).limit(1).count() > 0
+        for suf in EXPECTED_UPLOAD_SUFFIXES
+    ]
+    return all(checks)
+
+
+def remap_with_count(
+    df: DataFrame, columns: list[str], id_update_map: dict[str, str]
+) -> tuple[DataFrame, int]:
+    """apply_id_update_map + the number of rewritten cells (A13 mapcount)."""
+    from kg_obo_spark.operators.canonicalize import apply_id_update_map
+
+    marked = df
+    for c in columns:
+        marked = marked.withColumn(f"__orig_{c}", F.col(c))
+    remapped = apply_id_update_map(marked, columns, id_update_map)
+    changed = remapped.select(
+        sum(
+            (F.col(c) != F.col(f"__orig_{c}")).cast("long") for c in columns
+        ).alias("n")
+    ).agg(F.sum("n").alias("total")).first()["total"]
+    out = remapped.drop(*[f"__orig_{c}" for c in columns])
+    return out, int(changed or 0)
+
+
+def file_set_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Rows of ``a`` not in ``b`` (multiset semantics) — the distributed
+    replacement for the reference's unused-too-slow unified diff."""
+    return a.exceptAll(b)

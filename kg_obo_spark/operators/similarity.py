@@ -76,6 +76,120 @@ def cosine_topk(
     )
 
 
+def embedding_near_dup_exact(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    O(n²) cross join — the correctness baseline and the small-side tool; at
+    scale use :func:`embedding_near_dup_lsh` to generate candidates first.
+    SQL-expressible (DuckDB list_cosine_similarity oracle)."""
+    a = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return pairs.select("a", "b", sim.alias("sim")).filter(F.col("sim") >= threshold)
+
+
+def random_hyperplane_signature(
+    embeddings: DataFrame,
+    n_planes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+) -> DataFrame:
+    """(id, signature long): sign-of-dot-product bits against ``n_planes``
+    deterministic pseudo-random hyperplanes (splitmix64-derived, no RNG state).
+    Arrow-vectorized numpy stage — the scale path for cosine LSH."""
+    import numpy as np
+
+    from kg_obo_spark.datagen.rand import hash_u64
+
+    def sig(batches):
+        import pandas as pd
+
+        planes = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            dim = len(pdf[vec_col].iloc[0])
+            if planes is None:
+                idx = np.arange(n_planes * dim, dtype=np.int64)
+                u = hash_u64(seed, idx, 0).astype(np.float64) / 2**64
+                planes = (u.reshape(n_planes, dim) * 2.0 - 1.0)
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (mat @ planes.T) > 0  # (rows, n_planes)
+            weights = (1 << np.arange(n_planes, dtype=np.uint64)).astype(np.uint64)
+            sigs = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], "signature": sigs})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        sig, schema=f"{id_col} long, signature long"
+    )
+
+
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 32,
+    prefix_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate near-dup pairs: hyperplane-LSH chunk blocking -> exact
+    cosine verify on candidates only. Same output shape as the exact variant;
+    recall measured against it in tests."""
+    sigs = random_hyperplane_signature(embeddings, n_planes, id_col, vec_col)
+    mask = (1 << prefix_bits) - 1
+    chunks = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("chunk"),
+                    F.shiftrightunsigned("signature", i * prefix_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("key"),
+                )
+                for i in range(n_planes // prefix_bits)
+            ]
+        )
+    ).alias("c")
+    blocked = sigs.select(id_col, chunks).select(id_col, "c.chunk", "c.key")
+    grouped = blocked.groupBy("chunk", "key").agg(
+        F.slice(F.sort_array(F.collect_set(id_col)), 1, 256).alias("ids")
+    )
+    cands = (
+        grouped.filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    va = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        cands.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: DataFrame,

@@ -1,0 +1,77 @@
+"""Physical-plan assertions: the properties that matter at 100 TB.
+
+These lock in WHAT Catalyst does with our operators: column pruning reaches
+the scan, small dimensions broadcast, filters push down. A regression here is
+a silent 10-100x at scale even when results stay correct."""
+
+from pyspark.sql import functions as F
+
+from kg_obo_spark.datagen import generate_transcripts
+from kg_obo_spark.operators.canonicalize import canonical_map
+from kg_obo_spark.operators.extract import extract_mentions
+from kg_obo_spark.operators.materialize import canonical_mentions
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_extraction_prunes_input_columns(spark, onto, tmp_path):
+    """The Arrow scan must read only (conv_id, turn_idx, text) — role/tool/ts
+    never leave the parquet footer."""
+    path = str(tmp_path / "tr")
+    generate_transcripts(spark, n_convs=20, seed=2, ontology=onto).write.parquet(path)
+    tr = spark.read.parquet(path)
+    m = extract_mentions(tr, onto)
+    plan = _plan(m)
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "conv_id" in scan_line and "text" in scan_line
+    assert "role" not in scan_line and "tool" not in scan_line and "ts" not in scan_line
+
+
+def test_canonical_map_join_is_broadcast(spark, onto):
+    m = spark.createDataFrame(
+        [("c", 0, 0, 1, "s", "BFO:0000002", 1.0)],
+        "conv_id string, turn_idx int, start int, end int, surface string, term_id string, score double",
+    )
+    eq = spark.createDataFrame(onto.xrefs, "a string, b string")
+    terms = spark.createDataFrame([(t["id"],) for t in onto.terms], "id string")
+    cm = canonical_mentions(m, canonical_map(terms, eq))
+    assert "BroadcastHashJoin" in _plan(cm)
+    assert "SortMergeJoin" not in _plan(cm)
+
+
+def test_filter_pushdown_to_parquet(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1996-01-01").select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_extendedprice" not in scan_line  # pruned
+
+
+def test_small_dim_join_broadcasts_automatically(spark):
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_q1_partial_agg_and_codegen(spark):
+    import __spark_entry__ as em
+
+    df = em.queries()["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    # map-side partial aggregation before the exchange (the 100 TB essential)
+    assert "partial_sum" in plan
+    assert "PushedFilters" in plan
+    # codegen spans materialize in the final adaptive plan after execution of
+    # THIS QueryExecution (a write spawns a separate one, so use collect)
+    df.collect()
+    final = _plan(df)
+    assert "isFinalPlan=true" in final
+    assert "*(" in final  # '*' prefix = operator inside a WholeStageCodegen span

@@ -7,8 +7,11 @@ from pyspark.sql import functions as F
 from kg_obo_spark.operators.similarity import (
     cosine_topk,
     deterministic_centroids,
+    embedding_near_dup_exact,
+    embedding_near_dup_lsh,
     ivf_assign,
     ivf_topk,
+    random_hyperplane_signature,
 )
 
 
@@ -59,6 +62,40 @@ def test_ivf_assign_covers_all(spark):
     assigned = ivf_assign(emb, cents)
     assert assigned.count() == emb.count()
     assert assigned.select("centroid_id").distinct().count() <= 4
+
+
+def test_embedding_near_dup_exact_finds_planted(spark):
+    # plant near-identical vectors: 100/101 are tiny perturbations of 0
+    import math
+
+    dim = 8
+    base = [math.sin(j) for j in range(dim)]
+    rows = [(0, base, 0), (100, [v + 1e-4 for v in base], 0), (101, [v * 1.001 for v in base], 0)]
+    rows += [(i, [math.sin(i * dim + j) for j in range(dim)], 1) for i in range(1, 40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = {(r["a"], r["b"]) for r in embedding_near_dup_exact(emb, threshold=0.999).collect()}
+    assert {(0, 100), (0, 101), (100, 101)} <= pairs
+
+
+def test_hyperplane_signature_deterministic(spark):
+    emb = _emb(spark, n=20)
+    a = {r["vec_id"]: r["signature"] for r in random_hyperplane_signature(emb).collect()}
+    b = {r["vec_id"]: r["signature"] for r in random_hyperplane_signature(emb).collect()}
+    assert a == b
+
+
+def test_lsh_near_dup_recall(spark):
+    import math
+
+    dim = 8
+    base = [math.sin(j) for j in range(dim)]
+    rows = [(0, base, 0), (100, [v + 1e-4 for v in base], 0)]
+    rows += [(i, [math.sin(i * dim + j) for j in range(dim)], 1) for i in range(1, 60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    exact = {(r["a"], r["b"]) for r in embedding_near_dup_exact(emb, threshold=0.99).collect()}
+    approx = {(r["a"], r["b"]) for r in embedding_near_dup_lsh(emb, threshold=0.99).collect()}
+    assert approx <= exact  # verify step guarantees no false positives
+    assert (0, 100) in approx  # identical-direction pair always collides
 
 
 def test_ivf_recall_vs_exact(spark):
