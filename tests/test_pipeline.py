@@ -27,6 +27,22 @@ def test_end_to_end_triples_pr(spark, onto, transcripts, tmp_path):
     assert (p, r) == (1.0, 1.0)
 
 
+def test_pr_on_heavy_corpus(spark, tmp_path):
+    """P/R holds on the bench-shaped corpus: multi-sentence turns, 1000-term
+    dictionary (wider trie, 3-word labels, denser mentions)."""
+    from kg_obo_spark.datagen import build_ontology
+
+    big_onto = build_ontology(n_terms=1000, seed=7)
+    tr = generate_transcripts(
+        spark, n_convs=60, seed=33, ontology=big_onto, sentences_range=(2, 6)
+    ).cache()
+    res = run_pipeline(spark, tr, big_onto, str(tmp_path / "kg_heavy"))
+    got = {(r["subject"], r["predicate"], r["object"]) for r in res.edges.collect()}
+    rows = [(r["conv_id"], r["turn_idx"], r["text"]) for r in tr.collect()]
+    p, r = precision_recall(got, oracle_triples(rows, big_onto))
+    assert (p, r) == (1.0, 1.0), f"P={p:.4f} R={r:.4f}"
+
+
 def test_crash_resume_identical_output(spark, onto, transcripts, tmp_path):
     full_root = str(tmp_path / "full")
     res_full = run_pipeline(spark, transcripts, onto, full_root, n_buckets=4)
