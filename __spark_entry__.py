@@ -447,6 +447,33 @@ def q_multimodal_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map (applyInPandas) feature extraction per user — the §2.8
+    'whole group at once' surface, value-checked against a SQL window mirror."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        types = pdf["event_type"].to_numpy()
+        switches = int((types[1:] != types[:-1]).sum()) if len(types) > 1 else 0
+        gaps = pdf["ts"].diff().dt.total_seconds().dropna()
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "n_type_switches": [switches],
+                "mean_gap_s": [round(float(gaps.mean()), 4) if len(gaps) else 0.0],
+            }
+        )
+
+    return ev.select("user_id", "event_id", "event_type", "ts").groupBy("user_id").applyInPandas(
+        per_user,
+        schema="user_id long, n_events long, n_type_switches long, mean_gap_s double",
+    )
+
+
 def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping over (returnflag, linestatus); nulls coalesced to 'ALL'
     so the value-hash comparison never sees engine-specific null encodings."""
@@ -623,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "emb_norm_stats": q_emb_norm_stats,
         "emb_near_dup": q_emb_near_dup,
+        "user_session_features": q_user_session_features,
         "cube_revenue": q_cube_revenue,
         "pivot_status": q_pivot_status,
         "multimodal_payload": q_multimodal_payload,
@@ -941,6 +969,20 @@ def oracle_sql() -> dict[str, str]:
                octet_length(encode(text)) AS n_bytes,
                sha256(text) AS sha256
         FROM documents
+        """,
+        "user_session_features": """
+        WITH ordered AS (
+          SELECT user_id, event_id, event_type, ts,
+                 lag(event_type) OVER w AS prev_type,
+                 epoch(ts - lag(ts) OVER w) AS gap_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               count(*) AS n_events,
+               count(*) FILTER (WHERE prev_type IS NOT NULL AND event_type <> prev_type) AS n_type_switches,
+               coalesce(round(avg(gap_s), 4), 0.0) AS mean_gap_s
+        FROM ordered GROUP BY user_id
         """,
         "cube_revenue": """
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from kg_obo_spark.datagen.ontology import Ontology
 from kg_obo_spark.operators.canonicalize import canonical_map
-from kg_obo_spark.operators.extract import extract_mentions
+from kg_obo_spark.operators.extract import extract_mentions, split_valid_turns
 from kg_obo_spark.operators.materialize import (
     build_edges,
     build_isa_edges,
@@ -103,10 +103,16 @@ def run_pipeline(
         done_batches = 0
         for units in batches:
             sub = tr.filter(F.col("bucket").isin(units))
-            mentions = extract_mentions(sub, onto)
+            valid, errors = split_valid_turns(sub)
+            n_err = errors.count()
+            mentions = extract_mentions(valid, onto)
             cm = canonical_mentions(mentions, cmap)
 
             n_in = sub.count()
+            if n_err:
+                store.log_stage(
+                    spark, run_id, "input_errors", rows_in=n_in, rows_out=n_err
+                )
             # one extraction pass: commit mentions, then derive edges from the
             # just-written parquet (never rescan the corpus, never recompute
             # the Arrow extraction stage)
