@@ -447,6 +447,41 @@ def q_multimodal_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (events -> latest order of the same key at event time).
+    Spark lacks a native ASOF JOIN; this runs the engine's cogroup+merge_asof
+    operator and is value-checked against DuckDB's native ASOF LEFT JOIN."""
+    from kg_obo_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), "event_id", "ts"
+    )
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)  # one row per (key, ts): ties removed
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").alias("ts"),
+            "o_orderkey",
+        )
+    )
+    out = asof_join(ev, orders, key="k", left_ts="ts", right_ts="ts")
+    return out.select("event_id", F.col("r_o_orderkey").alias("matched_order"))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) + per-session stats."""
+    from kg_obo_spark.operators.temporal import session_stats, sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, key="user_id", ts_col="ts", gap_seconds=1800, order_tiebreak="event_id")
+    return session_stats(s).select(
+        "user_id", "session_id", "n_events", "duration_us"
+    )
+
+
 def q_user_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map (applyInPandas) feature extraction per user — the §2.8
     'whole group at once' surface, value-checked against a SQL window mirror."""
@@ -650,6 +685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "emb_norm_stats": q_emb_norm_stats,
         "emb_near_dup": q_emb_near_dup,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
         "user_session_features": q_user_session_features,
         "cube_revenue": q_cube_revenue,
         "pivot_status": q_pivot_status,
@@ -969,6 +1006,38 @@ def oracle_sql() -> dict[str, str]:
                octet_length(encode(text)) AS n_bytes,
                sha256(text) AS sha256
         FROM documents
+        """,
+        "asof_join": """
+        WITH orders_dedup AS (
+          SELECT o_custkey AS k, o_orderdate AS ts, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                    ORDER BY o_orderkey DESC) AS rn
+          FROM orders
+        ),
+        r AS (SELECT k, ts, o_orderkey FROM orders_dedup WHERE rn = 1)
+        SELECT e.event_id, r.o_orderkey AS matched_order
+        FROM events e ASOF LEFT JOIN r
+          ON e.user_id = r.k AND r.ts <= e.ts
+        """,
+        "sessionize": """
+        WITH gaps AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+          SELECT user_id, event_id, ts,
+                 CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+          FROM gaps
+        )
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+        FROM sess GROUP BY user_id, session_id
         """,
         "user_session_features": """
         WITH ordered AS (
