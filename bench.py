@@ -108,7 +108,7 @@ def run_pipeline_bench(spark, transcripts_path: str) -> dict:
     # parallelism is a larger share of a shorter wall)
     wall = float("inf")
     n_triples = 0
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         mentions = extract_mentions(tr, onto)
         cm = canonical_mentions(mentions, cmap)
@@ -136,9 +136,12 @@ def run_headline(spark, sf_dir: str) -> dict:
     qs = entrymod.queries()
     out = {}
     for name in HEADLINE:
-        t0 = time.time()
-        _noop(qs[name](spark, sf_dir))
-        out[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: the VM's noisy-neighbor stalls are
+            t0 = time.time()  # multi-x; the min is the steady-state number
+            _noop(qs[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
     return out
 
 

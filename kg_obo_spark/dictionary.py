@@ -82,13 +82,15 @@ class TermMatcher:
             r"(?<![A-Za-z0-9_])" + _trie_pattern(surfaces) + r"(?![A-Za-z0-9_-])",
             re.IGNORECASE,
         )
-        # canonical or lowercased-prefix CURIE, e.g. BFO:0000030 / bfo:0000030
-        self._curie_re = re.compile(r"(?<![A-Za-z0-9_:])([A-Za-z]+):(\d{7})(?!\d)")
-        # OBO:PREFIX_num and OBO:prefix.OWL#PREFIX_num (robot_utils.py:287-299)
-        self._obo_re = re.compile(
-            r"(?<![A-Za-z0-9_:])OBO:(?:[A-Za-z]+\.OWL#)?([A-Za-z]+)_(\d{7})(?!\d)"
+        # all explicit-id shapes in ONE scan (they cannot match the same span,
+        # so alternation order is semantics-free): OBO:PREFIX_num /
+        # OBO:prefix.OWL#PREFIX_num (robot_utils.py:287-299), raw OBO IRIs,
+        # and canonical/lowercased-prefix CURIEs
+        self._id_re = re.compile(
+            r"(?<![A-Za-z0-9_:])OBO:(?:[A-Za-z]+\.OWL#)?(?P<op>[A-Za-z]+)_(?P<on>\d{7})(?!\d)"
+            + "|" + self.iri_prefix_re + r"(?P<ip>[A-Za-z]+)_(?P<inum>\d{7})(?!\d)"
+            + r"|(?<![A-Za-z0-9_:])(?P<cp>[A-Za-z]+):(?P<cn>\d{7})(?!\d)"
         )
-        self._iri_re = re.compile(self.iri_prefix_re + r"([A-Za-z]+)_(\d{7})(?!\d)")
 
     def find(
         self, text: str, best_only: bool = True
@@ -106,21 +108,20 @@ class TermMatcher:
         operators.extract.link_best).
         """
         cands: list[tuple[int, int, int, str, str, float]] = []
-        for m in self._obo_re.finditer(text):
-            tid = f"{m.group(1).upper()}:{m.group(2)}"
-            if tid in self.known_ids:
-                cands.append((m.start(), m.end(), 0, m.group(0), tid, 0.98))
-        for m in self._iri_re.finditer(text):
-            tid = f"{m.group(1).upper()}:{m.group(2)}"
-            if tid in self.known_ids:
-                cands.append((m.start(), m.end(), 0, m.group(0), tid, 0.98))
-        for m in self._curie_re.finditer(text):
-            pfx = m.group(1)
-            if pfx.upper() in self.known_prefixes and pfx != "OBO":
-                tid = f"{pfx.upper()}:{m.group(2)}"
+        for m in self._id_re.finditer(text):
+            g = m.lastgroup
+            if g in ("on", "inum"):  # OBO-malformed / raw IRI -> repaired id
+                pfx, num = (m["op"], m["on"]) if g == "on" else (m["ip"], m["inum"])
+                tid = f"{pfx.upper()}:{num}"
                 if tid in self.known_ids:
-                    score = 1.0 if pfx.isupper() else 0.97
-                    cands.append((m.start(), m.end(), 0, m.group(0), tid, score))
+                    cands.append((m.start(), m.end(), 0, m.group(0), tid, 0.98))
+            else:  # canonical or lowercased-prefix CURIE
+                pfx = m["cp"]
+                if pfx.upper() in self.known_prefixes and pfx != "OBO":
+                    tid = f"{pfx.upper()}:{m['cn']}"
+                    if tid in self.known_ids:
+                        score = 1.0 if pfx.isupper() else 0.97
+                        cands.append((m.start(), m.end(), 0, m.group(0), tid, score))
         for m in self._dict_re.finditer(text):
             surf = m.group(0)
             for tid, base, exact in self.surface_map.get(surf.lower(), ()):

