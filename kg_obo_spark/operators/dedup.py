@@ -173,10 +173,13 @@ def minhash_near_duplicates(
     # signatures feed three consumers (banding + both sides of the verify
     # join); materialize once instead of recomputing the shingle aggregation
     sigs = sigs.localCheckpoint(eager=False)
-    cands = minhash_lsh_pairs(sigs, id_col, bands)
     sa = sigs.select(F.col(id_col).alias("a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("b"), F.col("signature").alias("sig_b"))
-    joined = cands.join(sa, "a").join(sb, "b")
+    cands = minhash_lsh_pairs(sigs, id_col, bands)
+    # signatures are num_hashes longs per doc — broadcastable far beyond this
+    # scale (1e7 docs x 64 hashes ~ 5 GB is the cutover to a shuffle join;
+    # below that the verify join costs zero exchanges)
+    joined = cands.join(F.broadcast(sa), "a").join(F.broadcast(sb), "b")
     est = (
         F.size(
             F.filter(

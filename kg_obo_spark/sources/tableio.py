@@ -82,13 +82,17 @@ class Table:
         meta: dict | None = None,
         mode: str = "overwrite",
         if_absent_tag: str | None = None,
+        partition_by: list[str] | None = None,
     ) -> Snapshot | None:
         """Write ``df`` as a new committed snapshot.
 
         mode='overwrite' replaces visible data; mode='append' unions with the
         current snapshot at read time (manifest lists both data dirs).
         ``if_absent_tag``: skip (return None) if any snapshot carries this tag —
-        the idempotent-publish semantics."""
+        the idempotent-publish semantics.
+        ``partition_by``: hive-style directory partitioning — readers filtering
+        on those columns get partition pruning (the Iceberg partition-spec
+        analog; see test_tableio.py::test_partitioned_commit_prunes)."""
         meta = dict(meta or {})
         prev = self.latest()
         if if_absent_tag is not None:
@@ -96,9 +100,14 @@ class Table:
                 if s.meta.get("tag") == if_absent_tag:
                     return None
             meta["tag"] = if_absent_tag
+        if partition_by:
+            meta["partition_by"] = partition_by
         snap_id = uuid.uuid4().hex[:16]
         data_dir = os.path.join(self.root, f"data-{snap_id}")
-        df.write.mode("overwrite").parquet(data_dir)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
         n = df.sparkSession.read.parquet(data_dir).count()
         meta["batch_rows"] = n
         dirs = [data_dir]

@@ -2,7 +2,7 @@
 snapshot time-travel, lock mutex, tracking rotation."""
 
 import pytest
-from pyspark.sql import functions as F
+from pyspark.sql import functions as F  # noqa: F401
 
 from kg_obo_spark.plans.tracking import TrackingStore
 from kg_obo_spark.sources.tableio import Lock, LockHeldError, Table
@@ -36,6 +36,17 @@ def test_idempotent_publish(spark, tmp_path):
     s2 = t.commit(spark.range(99), if_absent_tag="v1")  # skipped
     assert s1 is not None and s2 is None
     assert t.read(spark).count() == 2
+
+
+def test_partitioned_commit_prunes(spark, tmp_path):
+    t = Table(str(tmp_path / "p"))
+    df = spark.range(100).withColumn("bucket", (F.col("id") % 4).cast("int"))
+    t.commit(df, partition_by=["bucket"])
+    q = t.read(spark).filter(F.col("bucket") == 2)
+    assert q.count() == 25
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # partition filter handled at planning time — not a data filter
+    assert "PartitionFilters: [isnotnull(bucket" in plan or "PartitionFilters: [(bucket" in plan
 
 
 def test_lock_mutex(tmp_path):
