@@ -297,20 +297,34 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over k-token shingles via inverted-index join:
     explode shingles -> self-join on shingle -> intersection counts ->
     jaccard = |A∩B| / (|A|+|B|-|A∩B|). SQL-expressible (DuckDB oracle mirror).
 
-    Scale: the join key is the shingle — common shingles fan out; at 100 TB
-    drop top-frequency shingles first (stop-shingle filter) or use MinHash.
+    Scale: the join key is the shingle — a boilerplate shingle shared by d
+    docs fans out d² pairs. ``max_shingle_freq`` drops shingles occurring in
+    more than that many docs BEFORE the join (stop-shingle filter): sizes are
+    computed on the unfiltered sets so the Jaccard denominator is exact, and
+    dropped shingles only shave the intersection count of boilerplate-heavy
+    pairs — a documented lower-bound estimate, never a false positive.
     Returns (a, b, jaccard) with a < b."""
     sh = df.select(
         F.col(id_col), F.explode(_shingles(text_col, shingle_k)).alias("shingle")
     )
+    join_sh = sh
+    if max_shingle_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        join_sh = sh.join(rare, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = sh.select(F.col(id_col).alias("a"), "shingle")
-    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    a = join_sh.select(F.col(id_col).alias("a"), "shingle")
+    b = join_sh.select(F.col(id_col).alias("b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("a") < F.col("b"))

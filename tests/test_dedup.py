@@ -64,6 +64,20 @@ def test_simhash_hamming(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] == 0
 
 
+def test_ngram_jaccard_stop_shingle_filter(spark):
+    # shingles shared by ALL docs get dropped from the join with
+    # max_shingle_freq; near-dup pairs still surface, denominator stays exact
+    docs = _docs(spark)
+    full = {(r["a"], r["b"]): r["jaccard"] for r in
+            ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.05).collect()}
+    filtered = {(r["a"], r["b"]): r["jaccard"] for r in
+                ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.05,
+                                    max_shingle_freq=3).collect()}
+    assert (1, 2) in filtered and filtered[(1, 2)] <= full[(1, 2)]
+    for pair, j in filtered.items():
+        assert j <= full[pair] + 1e-9  # lower-bound estimate, never inflated
+
+
 def test_ngram_jaccard_exact_values(spark):
     out = {(r["a"], r["b"]): r["jaccard"] for r in
            ngram_jaccard_pairs(_docs(spark), shingle_k=3, threshold=0.05).collect()}
