@@ -117,7 +117,7 @@ WITH terms(word, term_id) AS (VALUES {_DOC_TERMS_SQL_VALUES}),
 mentions AS (
   SELECT DISTINCT d.doc_id, t.term_id
   FROM documents d JOIN terms t
-    ON regexp_matches(d.text, '(^|[^A-Za-z0-9_])' || t.word || '($|[^A-Za-z0-9_-])')
+    ON regexp_matches(d.text, '(?i)(^|[^A-Za-z0-9_])' || t.word || '($|[^A-Za-z0-9_-])')
 )
 """
 
@@ -1004,7 +1004,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
                min(doc_id) AS representative,
                count(*) AS n_dups,
-               array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), '|') AS member_ids
+               array_to_string(list_transform(list_sort(list(doc_id)), x -> CAST(x AS VARCHAR)), '|') AS member_ids
         FROM documents GROUP BY 1
         """,
         "dedup_ngram_jaccard": r"""
@@ -1063,6 +1063,23 @@ def oracle_sql() -> dict[str, str]:
                octet_length(encode(text)) AS n_bytes,
                sha256(text) AS sha256
         FROM documents
+        """,
+        # decode_stub's fake features are sha256-derived and therefore
+        # SQL-expressible: DuckDB parses the hex digest slices the same way
+        # int(d[a:b], 16) does
+        "multimodal_decode": """
+        WITH d AS (
+          SELECT doc_id AS media_id,
+                 'text/blob' AS kind,
+                 octet_length(encode(text)) AS n_bytes,
+                 sha256(text) AS digest
+          FROM documents
+        )
+        SELECT media_id, kind, n_bytes, digest AS sha256,
+               CAST(concat('0x', substr(digest, 1, 4)) AS BIGINT) % 4096 AS width,
+               CAST(concat('0x', substr(digest, 5, 4)) AS BIGINT) % 4096 AS height,
+               CAST(concat('0x', substr(digest, 9, 6)) AS BIGINT) % 600000 AS duration_ms
+        FROM d
         """,
         "asof_join": """
         WITH orders_dedup AS (

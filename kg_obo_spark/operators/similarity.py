@@ -131,18 +131,10 @@ def random_hyperplane_signature(
     )
 
 
-def embedding_near_dup_lsh(
-    embeddings: DataFrame,
-    threshold: float = 0.9,
-    n_planes: int = 32,
-    prefix_bits: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _lsh_blocked(
+    sigs: DataFrame, n_planes: int, prefix_bits: int, id_col: str
 ) -> DataFrame:
-    """Approximate near-dup pairs: hyperplane-LSH chunk blocking -> exact
-    cosine verify on candidates only. Same output shape as the exact variant;
-    recall measured against it in tests."""
-    sigs = random_hyperplane_signature(embeddings, n_planes, id_col, vec_col)
+    """(id, chunk, key): block signatures by each prefix_bits-wide chunk."""
     mask = (1 << prefix_bits) - 1
     chunks = F.explode(
         F.array(
@@ -157,9 +149,77 @@ def embedding_near_dup_lsh(
             ]
         )
     ).alias("c")
-    blocked = sigs.select(id_col, chunks).select(id_col, "c.chunk", "c.key")
+    return sigs.select(id_col, chunks).select(id_col, "c.chunk", "c.key")
+
+
+def embedding_lsh_bucket_stats(
+    embeddings: DataFrame,
+    n_planes: int = 32,
+    prefix_bits: int = 8,
+    max_bucket: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-(chunk, key) occupancy: (chunk, key, size, truncated, dropped) —
+    the recall-loss ledger for the ``max_bucket`` cap in
+    :func:`embedding_near_dup_lsh`; aggregate into lineage so cap effects are
+    observable, never silent."""
+    sigs = random_hyperplane_signature(embeddings, n_planes, id_col, vec_col)
+    return (
+        _lsh_blocked(sigs, n_planes, prefix_bits, id_col)
+        .groupBy("chunk", "key")
+        .agg(F.count_distinct(id_col).alias("size"))
+        .select(
+            "chunk",
+            "key",
+            "size",
+            (F.col("size") > max_bucket).alias("truncated"),
+            F.greatest(F.col("size") - max_bucket, F.lit(0)).alias("dropped"),
+        )
+    )
+
+
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 32,
+    prefix_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 256,
+    store=None,
+    run_id: str = "emb_lsh",
+) -> DataFrame:
+    """Approximate near-dup pairs: hyperplane-LSH chunk blocking -> exact
+    cosine verify on candidates only. Same output shape as the exact variant;
+    recall measured against it in tests.
+
+    Hot buckets are capped at ``max_bucket`` ids so one degenerate bucket
+    can't go quadratic; pass ``store`` (TrackingStore) to write truncation
+    totals to the lineage table (stage ``emb_lsh_truncation``)."""
+    sigs = random_hyperplane_signature(embeddings, n_planes, id_col, vec_col)
+    blocked = _lsh_blocked(sigs, n_planes, prefix_bits, id_col)
+    if store is not None:
+        tr = (
+            blocked.groupBy("chunk", "key")
+            .agg(F.count_distinct(id_col).alias("size"))
+            .agg(
+                F.count("*").alias("n_buckets"),
+                F.sum((F.col("size") > max_bucket).cast("long")).alias("n_truncated"),
+                F.sum(F.greatest(F.col("size") - max_bucket, F.lit(0))).alias("n_dropped"),
+            )
+            .first()
+        )
+        store.log_stage(
+            embeddings.sparkSession,
+            run_id,
+            "emb_lsh_truncation",
+            rows_in=tr["n_buckets"] or 0,
+            rows_out=tr["n_truncated"] or 0,
+            remap_count=tr["n_dropped"] or 0,
+        )
     grouped = blocked.groupBy("chunk", "key").agg(
-        F.slice(F.sort_array(F.collect_set(id_col)), 1, 256).alias("ids")
+        F.slice(F.sort_array(F.collect_set(id_col)), 1, max_bucket).alias("ids")
     )
     cands = (
         grouped.filter(F.size("ids") >= 2)

@@ -90,8 +90,14 @@ def decompress_kgx_targz(tar_path: str, out_dir: str) -> tuple[str, str]:
     os.makedirs(out_dir, exist_ok=True)
     with tarfile.open(tar_path, "r:gz") as tar:
         members = [m for m in tar.getmembers() if "_kgx_tsv_" in m.name]
-        if len(members) > 2:
+        if len(members) != 2:
             raise ValueError(f"{tar_path}: expected 2 graph members, found {len(members)}")
+        n_nodes = sum(1 for m in members if "_nodes" in m.name)
+        if n_nodes != 1:
+            raise ValueError(
+                f"{tar_path}: expected exactly one _nodes and one _edges member, "
+                f"got {[m.name for m in members]}"
+            )
         paths = {}
         for m in members:
             m.name = os.path.basename(m.name)

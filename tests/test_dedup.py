@@ -64,6 +64,57 @@ def test_simhash_hamming(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] == 0
 
 
+def test_minhash_shuffle_join_path_identical(spark):
+    # the verify join no longer hardcodes broadcast; prove the shuffled-hash
+    # path (broadcast disabled) produces the identical pair set
+    base = {(r["a"], r["b"], r["est_jaccard"]) for r in
+            minhash_near_duplicates(_docs(spark), num_hashes=32, bands=16,
+                                    threshold=0.4).collect()}
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        shuffled = {(r["a"], r["b"], r["est_jaccard"]) for r in
+                    minhash_near_duplicates(_docs(spark), num_hashes=32, bands=16,
+                                            threshold=0.4).collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert base == shuffled and base
+
+
+def test_minhash_band_stats_surface_truncation(spark, tmp_path):
+    # degenerate hot bucket: many identical docs + a tiny max_bucket cap must
+    # produce non-zero truncation stats AND a lineage row when a store is given
+    from kg_obo_spark.operators.dedup import minhash_band_stats, minhash_signatures
+    from kg_obo_spark.plans.tracking import TrackingStore
+
+    rows = [(i, BASE) for i in range(12)] + [(100, FAR)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs, num_hashes=32)
+    stats = minhash_band_stats(sigs, bands=16, max_bucket=4)
+    agg = stats.groupBy().agg(
+        F.sum(F.col("truncated").cast("long")).alias("t"), F.sum("dropped").alias("d")
+    ).first()
+    assert agg["t"] > 0 and agg["d"] > 0
+
+    store = TrackingStore(str(tmp_path / "lin"))
+    minhash_near_duplicates(
+        docs, num_hashes=32, bands=16, threshold=0.4, max_bucket=4, store=store
+    ).collect()
+    lin = store.lineage.read(spark).filter(F.col("stage") == "minhash_lsh_truncation")
+    row = lin.first()
+    assert row is not None and row["rows_out"] > 0 and row["remap_count"] > 0
+
+
+def test_simhash_long_doc_no_overflow(spark):
+    # >127 repeated tokens: an int8 vote accumulator would overflow; the
+    # signature of the repeated-token doc must equal the single-token doc's
+    docs = spark.createDataFrame(
+        [(1, "alpha " * 300), (2, "alpha")], "doc_id long, text string"
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_frame(docs).collect()}
+    assert sh[1] == sh[2] != 0
+
+
 def test_ngram_jaccard_stop_shingle_filter(spark):
     # shingles shared by ALL docs get dropped from the join with
     # max_shingle_freq; near-dup pairs still surface, denominator stays exact

@@ -98,6 +98,30 @@ def test_lsh_near_dup_recall(spark):
     assert (0, 100) in approx  # identical-direction pair always collides
 
 
+def test_emb_lsh_bucket_truncation_surfaced(spark, tmp_path):
+    # identical vectors all land in the same buckets; a tiny max_bucket cap
+    # must surface non-zero truncation stats and write a lineage row
+    from pyspark.sql import functions as F
+
+    from kg_obo_spark.operators.similarity import embedding_lsh_bucket_stats
+    from kg_obo_spark.plans.tracking import TrackingStore
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0], 0) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    stats = embedding_lsh_bucket_stats(emb, max_bucket=4)
+    agg = stats.groupBy().agg(
+        F.sum(F.col("truncated").cast("long")).alias("t"), F.sum("dropped").alias("d")
+    ).first()
+    assert agg["t"] > 0 and agg["d"] > 0
+
+    store = TrackingStore(str(tmp_path / "lin"))
+    embedding_near_dup_lsh(emb, threshold=0.5, max_bucket=4, store=store).collect()
+    row = store.lineage.read(spark).filter(
+        F.col("stage") == "emb_lsh_truncation"
+    ).first()
+    assert row is not None and row["rows_out"] > 0 and row["remap_count"] > 0
+
+
 def test_ivf_recall_vs_exact(spark):
     emb = _emb(spark, n=60)
     q = _queries(emb)
