@@ -160,6 +160,27 @@ def q_kg_curie_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select("doc_id", "raw_id", normalize_curie(F.col("raw_id")).alias("norm_id"))
 
 
+def q_kg_id_update_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-update-map GENERATION from raw ids (examine_owl_names analog,
+    robot_utils.py:223-331): canonical known-prefix ids produce no row,
+    repairable shapes produce (old, new), unknown prefixes are unexpected."""
+    from kg_obo_spark.operators.canonicalize import generate_id_update_map
+
+    docs = _t(spark, sf_dir, "documents")
+    num = (F.col("doc_id") % 90 + 10).cast("string")
+    raw = docs.select(
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("OBO:BFO_00000"), num))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("bfo:00000"), num))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("http://purl.obolibrary.org/obo/CHEBI_00000"), num))
+        .when(F.col("doc_id") % 5 == 3, F.concat(F.lit("GO:00000"), num))
+        .otherwise(F.concat(F.lit("XYZ:00000"), num))
+        .alias("id"),
+    )
+    return generate_id_update_map(
+        raw, known_prefixes=["BFO", "CHEBI", "GO", "PATO", "ENVO", "MONDO"]
+    )
+
+
 def q_cc_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components (A3) on the nation–region bipartite graph,
     distributed star-contraction; oracle = recursive-CTE reachability min."""
@@ -677,6 +698,48 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_stub(media_from_documents(d))
 
 
+def q_publish_root_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root index w/ dead-link probe (upload.py:283-384 update_root): sources
+    ending in 3/7 have no per-dir index.html -> excluded from links, reported
+    as dead_dirs."""
+    from kg_obo_spark.operators.publish import root_index
+
+    d = _t(spark, sf_dir, "documents")
+    arts = d.select(
+        F.concat(
+            F.col("source"), F.lit("/doc"), F.col("doc_id").cast("string"), F.lit(".json")
+        ).alias("key")
+    )
+    idx = (
+        d.select("source")
+        .distinct()
+        .filter(~F.col("source").rlike("[37]$"))
+        .select(F.concat(F.col("source"), F.lit("/index.html")).alias("key"))
+    )
+    r = root_index(arts.unionByName(idx))
+    return r.select(
+        F.array_join("dirs", "|").alias("live_dirs"),
+        F.array_join("dead_dirs", "|").alias("dead_dirs"),
+        "index_html",
+    )
+
+
+def q_publish_dead_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index link validation (upload.py:356-363 head_object probe as an
+    anti-join): index built over ALL keys, manifest missing doc_id%11==0 ->
+    exactly those links come back dead."""
+    from kg_obo_spark.operators.publish import directory_index, index_dead_links
+
+    d = _t(spark, sf_dir, "documents")
+    key = F.concat(
+        F.col("source"), F.lit("/"), F.col("lang"), F.lit("/doc"),
+        F.col("doc_id").cast("string"), F.lit(".json"),
+    ).alias("key")
+    files = d.select(key)
+    manifest = d.filter(F.col("doc_id") % 11 != 0).select(key)
+    return index_dead_links(directory_index(files), manifest)
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -687,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_comention_edges": q_kg_comention_edges,
         "kg_degree": q_kg_degree,
         "kg_curie_normalize": q_kg_curie_normalize,
+        "kg_id_update_map": q_kg_id_update_map,
         "cc_nation_region": q_cc_nation_region,
         # relational operator inventory
         "q1_pricing_summary": q1_pricing_summary,
@@ -729,6 +793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_payload": q_multimodal_payload,
         "publish_format_tag": q_publish_format_tag,
         "publish_index": q_publish_index,
+        "publish_root_index": q_publish_root_index,
+        "publish_dead_links": q_publish_dead_links,
         "set_diff_except": q_set_diff_except,
         # rows-only (non-SQL-expressible)
         "pipeline_transcripts": q_pipeline_transcripts,
@@ -786,6 +852,28 @@ def oracle_sql() -> dict[str, str]:
             ELSE raw_id
           END AS norm_id
         FROM raw
+        """,
+        "kg_id_update_map": """
+        WITH raw AS (
+          SELECT DISTINCT
+            CASE
+              WHEN doc_id % 5 = 0 THEN 'OBO:BFO_00000' || CAST(doc_id % 90 + 10 AS VARCHAR)
+              WHEN doc_id % 5 = 1 THEN 'bfo:00000' || CAST(doc_id % 90 + 10 AS VARCHAR)
+              WHEN doc_id % 5 = 2 THEN 'http://purl.obolibrary.org/obo/CHEBI_00000' || CAST(doc_id % 90 + 10 AS VARCHAR)
+              WHEN doc_id % 5 = 3 THEN 'GO:00000' || CAST(doc_id % 90 + 10 AS VARCHAR)
+              ELSE 'XYZ:00000' || CAST(doc_id % 90 + 10 AS VARCHAR)
+            END AS old_id,
+            CASE
+              WHEN doc_id % 5 = 0 THEN 'BFO:00000' || CAST(doc_id % 90 + 10 AS VARCHAR)
+              WHEN doc_id % 5 = 1 THEN 'BFO:00000' || CAST(doc_id % 90 + 10 AS VARCHAR)
+              WHEN doc_id % 5 = 2 THEN 'CHEBI:00000' || CAST(doc_id % 90 + 10 AS VARCHAR)
+              ELSE NULL
+            END AS new_id,
+            doc_id % 5 AS arm
+          FROM documents
+        )
+        SELECT old_id, new_id, new_id IS NOT NULL AS repairable
+        FROM raw WHERE arm != 3
         """,
         "cc_nation_region": """
         WITH RECURSIVE edges AS (
@@ -1178,6 +1266,26 @@ def oracle_sql() -> dict[str, str]:
                  f -> '<li><a href="' || f || '">' || f || '</a></li>'), '') ||
                '</ul></body></html>' AS index_html
         FROM grouped
+        """,
+        "publish_root_index": """
+        WITH dirs AS (SELECT DISTINCT source AS dir FROM documents),
+        l AS (
+          SELECT list_sort(list(dir)) AS ds FROM dirs WHERE NOT regexp_matches(dir, '[37]$')
+        ),
+        d AS (
+          SELECT list_sort(list(dir)) AS dd FROM dirs WHERE regexp_matches(dir, '[37]$')
+        )
+        SELECT array_to_string(ds, '|') AS live_dirs,
+               array_to_string(dd, '|') AS dead_dirs,
+               '<html><body><h2>Index of /</h2><ul><li><a href="../">../</a></li>' ||
+               array_to_string(list_transform(ds,
+                 x -> '<li><a href="' || x || '/">' || x || '/</a></li>'), '') ||
+               '</ul></body></html>' AS index_html
+        FROM l, d
+        """,
+        "publish_dead_links": """
+        SELECT source || '/' || lang || '/doc' || CAST(doc_id AS VARCHAR) || '.json' AS key
+        FROM documents WHERE doc_id % 11 = 0
         """,
         "set_diff_except": """
         SELECT event_id, event_type FROM events

@@ -64,6 +64,17 @@ def _trie_pattern(words: list[str]) -> str:
 # ---------------------------------------------------------------- matcher
 
 
+#: Degradation ladder for the repair path — the distributed analog of the
+#: reference's robot convert fallback chain (robot_utils.py:108-143: full
+#: convert -> remove object-properties -> remove rdfs:comment -> remove
+#: IAO:0000115). Each level drops a content class from extraction:
+#:   0 = full (names + synonyms + every explicit-id shape)
+#:   1 = drop synonym surfaces       (the object-properties analog)
+#:   2 = drop ALL dictionary surfaces, explicit ids only (the comment analog)
+#:   3 = canonical CURIEs only — no malformed-id repair (the IAO analog)
+MAX_DEGRADATION_LEVEL = 3
+
+
 @dataclass
 class TermMatcher:
     """Compiled matcher over a term dictionary. Picklable inputs only; the
@@ -75,12 +86,17 @@ class TermMatcher:
     known_ids: set[str]
     iri_prefix_re: str
     version: str
+    level: int = 0  # degradation level, see MAX_DEGRADATION_LEVEL
 
     def __post_init__(self) -> None:
         surfaces = sorted(self.surface_map, key=len, reverse=True)
-        self._dict_re = re.compile(
-            r"(?<![A-Za-z0-9_])" + _trie_pattern(surfaces) + r"(?![A-Za-z0-9_-])",
-            re.IGNORECASE,
+        self._dict_re = (
+            re.compile(
+                r"(?<![A-Za-z0-9_])" + _trie_pattern(surfaces) + r"(?![A-Za-z0-9_-])",
+                re.IGNORECASE,
+            )
+            if surfaces
+            else None
         )
         # all explicit-id shapes in ONE scan (they cannot match the same span,
         # so alternation order is semantics-free): OBO:PREFIX_num /
@@ -111,22 +127,27 @@ class TermMatcher:
         for m in self._id_re.finditer(text):
             g = m.lastgroup
             if g in ("on", "inum"):  # OBO-malformed / raw IRI -> repaired id
+                if self.level >= 3:
+                    continue  # canonical-only: no malformed-id repair
                 pfx, num = (m["op"], m["on"]) if g == "on" else (m["ip"], m["inum"])
                 tid = f"{pfx.upper()}:{num}"
                 if tid in self.known_ids:
                     cands.append((m.start(), m.end(), 0, m.group(0), tid, 0.98))
             else:  # canonical or lowercased-prefix CURIE
                 pfx = m["cp"]
+                if self.level >= 3 and not pfx.isupper():
+                    continue
                 if pfx.upper() in self.known_prefixes and pfx != "OBO":
                     tid = f"{pfx.upper()}:{m['cn']}"
                     if tid in self.known_ids:
                         score = 1.0 if pfx.isupper() else 0.97
                         cands.append((m.start(), m.end(), 0, m.group(0), tid, score))
-        for m in self._dict_re.finditer(text):
-            surf = m.group(0)
-            for tid, base, exact in self.surface_map.get(surf.lower(), ()):
-                score = base if surf == exact else base - 0.05
-                cands.append((m.start(), m.end(), 1, surf, tid, score))
+        if self._dict_re is not None:
+            for m in self._dict_re.finditer(text):
+                surf = m.group(0)
+                for tid, base, exact in self.surface_map.get(surf.lower(), ()):
+                    score = base if surf == exact else base - 0.05
+                    cands.append((m.start(), m.end(), 1, surf, tid, score))
         # leftmost-longest sweep over overlapping spans
         cands.sort(key=lambda c: (c[0], -c[1], c[2], -c[5], c[4]))
         out: list[tuple[int, int, str, str, float]] = []
@@ -143,29 +164,36 @@ class TermMatcher:
         return out
 
 
-def build_matcher(onto: Ontology) -> TermMatcher:
+def build_matcher(onto: Ontology, level: int = 0) -> TermMatcher:
+    """Compile a matcher at the given degradation level (MAX_DEGRADATION_LEVEL
+    doc). Level 1 drops synonym surfaces (base score < 1.0); level >= 2 drops
+    every dictionary surface, leaving explicit-id shapes only."""
     surface_map: dict[str, list[tuple[str, float, str]]] = {}
-    for surf, tid, base in onto.surface_index():
-        surface_map.setdefault(surf.lower(), []).append((tid, base, surf))
-    for v in surface_map.values():
-        v.sort()
+    if level < 2:
+        for surf, tid, base in onto.surface_index():
+            if level >= 1 and base < 1.0:
+                continue  # synonyms score below primary labels
+            surface_map.setdefault(surf.lower(), []).append((tid, base, surf))
+        for v in surface_map.values():
+            v.sort()
     return TermMatcher(
         surface_map=surface_map,
         known_prefixes={t["id"].split(":")[0] for t in onto.terms},
         known_ids={t["id"] for t in onto.terms},
         iri_prefix_re=re.escape("http://purl.obolibrary.org/obo/"),
         version=f"{onto.name}-{onto.version}",
+        level=level,
     )
 
 
-# One compiled matcher per worker process per dictionary version.
+# One compiled matcher per worker process per (dictionary version, level).
 _MATCHER_CACHE: dict[str, TermMatcher] = {}
 
 
-def get_matcher(onto: Ontology) -> TermMatcher:
-    key = f"{onto.name}-{onto.version}-{len(onto.terms)}"
+def get_matcher(onto: Ontology, level: int = 0) -> TermMatcher:
+    key = f"{onto.name}-{onto.version}-{len(onto.terms)}-L{level}"
     m = _MATCHER_CACHE.get(key)
     if m is None:
-        m = build_matcher(onto)
+        m = build_matcher(onto, level)
         _MATCHER_CACHE[key] = m
     return m

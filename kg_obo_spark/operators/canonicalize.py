@@ -28,7 +28,9 @@ from pyspark.sql import functions as F
 OBO_IRI_PREFIX = "http://purl.obolibrary.org/obo/"
 
 # OBO:PREFIX_1234567 or OBO:prefix.OWL#PREFIX_1234567 -> PREFIX:1234567
-_OBO_RE = r"^OBO:(?:[A-Za-z]+\.OWL#)?([A-Za-z]+)_(\d+)$"
+# (the reference matches the OBO prefix case-insensitively:
+# robot_utils.py:288 `(identifier.split(":"))[0].upper() == "OBO"`)
+_OBO_RE = r"^[Oo][Bb][Oo]:(?:[A-Za-z]+\.[Oo][Ww][Ll]#)?([A-Za-z]+)_(\d+)$"
 _IRI_RE = r"^http://purl\.obolibrary\.org/obo/([A-Za-z]+)_(\d+)$"
 _CURIE_RE = r"^([A-Za-z]+):(\d+)$"
 
@@ -48,6 +50,82 @@ def normalize_curie(col: Column) -> Column:
         .when(cur_pfx != "", F.concat(F.upper(cur_pfx), F.lit(":"), cur_num))
         .otherwise(col)
     )
+
+
+def generate_id_update_map(
+    ids: DataFrame,
+    known_prefixes: list[str] | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """Derive the ID-update-map artifact FROM the raw identifiers — the
+    distributed analog of the reference's examine_owl_names
+    (robot_utils.py:223-331), which exports every entity id and writes
+    ``update_id_maps.tsv`` (old -> new) plus ``unexpected_ids.tsv``.
+
+    Output: one row per DISTINCT non-canonical id —
+    (old_id, new_id nullable, repairable):
+
+    - OBO-prefixed (any case, incl. ``.OWL#``-embedded): repaired per
+      robot_utils.py:289-300 (strip, ``_``->``:``, uppercase).
+    - Raw OBO IRI: compressed (iri_converter.compress analog).
+    - Lower/mixed-case CURIE prefix: capitalized (robot_utils.py:307-309).
+    - Canonical ``UPPER:digits`` with a known prefix: EXPECTED — no row.
+    - Anything else (junk, unknown prefix): unexpected and unrepairable —
+      ``new_id`` null (the reference's mal_id_list-only entries).
+
+    One native projection + filter, no Python in the loop; dedup is one hash
+    shuffle on the id."""
+    col = F.col(id_col)
+    norm = normalize_curie(col)
+    canonical = col.rlike(r"^[A-Z]+:\d+$")
+    # evaluated over the projected new_id column, so it stays resolvable
+    known_new = F.lit(True)
+    if known_prefixes is not None:
+        canonical = canonical & F.regexp_extract(col, _CURIE_RE, 1).isin(
+            list(known_prefixes)
+        )
+        known_new = F.regexp_extract(F.col("new_id"), _CURIE_RE, 1).isin(
+            list(known_prefixes)
+        )
+    return (
+        ids.select(col.alias("old_id"), norm.alias("new_id"))
+        .filter(~canonical)
+        .select(
+            "old_id",
+            F.when(
+                (F.col("new_id") != F.col("old_id")) & known_new, F.col("new_id")
+            ).alias("new_id"),
+        )
+        .withColumn("repairable", F.col("new_id").isNotNull())
+        .distinct()
+    )
+
+
+def write_id_update_artifacts(
+    ids: DataFrame, out_dir: str, known_prefixes: list[str] | None = None,
+    id_col: str = "id",
+) -> tuple[str, str]:
+    """Write the two examine_owl_names artifacts (robot_utils.py:260,327-331):
+    ``unexpected_ids.tsv`` (header ``ID``) and ``update_id_maps.tsv`` (header
+    ``Old ID\\tNew ID``). Returns their paths."""
+    import os
+
+    from kg_obo_spark.sources.kgx import write_tsv
+
+    m = generate_id_update_map(ids, known_prefixes, id_col).cache()
+    unexpected = m.select(F.col("old_id").alias("ID")).orderBy("ID")
+    updates = (
+        m.filter("repairable")
+        .select(F.col("old_id").alias("Old ID"), F.col("new_id").alias("New ID"))
+        .orderBy("Old ID")
+    )
+    mal_path = os.path.join(out_dir, "unexpected_ids.tsv")
+    map_path = os.path.join(out_dir, "update_id_maps.tsv")
+    os.makedirs(out_dir, exist_ok=True)
+    write_tsv(unexpected, mal_path)
+    write_tsv(updates, map_path)
+    m.unpersist()
+    return mal_path, map_path
 
 
 def apply_id_update_map(

@@ -38,8 +38,30 @@ MENTIONS_SCHEMA = (
 )
 
 
+class ExtractionError(RuntimeError):
+    """A turn exceeded the per-turn candidate budget — the distributed analog
+    of robot convert choking on a pathological ontology (robot_utils.py:108):
+    at 100 TB a single boilerplate turn that matches tens of thousands of
+    dictionary spans is a task-memory hazard, so the scan fails fast and the
+    pipeline's repair ladder retries the unit batch at a reduced extraction
+    level (see plans/pipeline.py)."""
+
+    def __init__(self, conv_id: str, turn_idx: int, n_candidates: int, cap: int):
+        super().__init__(
+            f"turn ({conv_id},{turn_idx}) produced {n_candidates} mention "
+            f"candidates > cap {cap}; retry at a higher degradation level"
+        )
+        self.conv_id = conv_id
+        self.turn_idx = turn_idx
+        self.n_candidates = n_candidates
+
+
 def extract_mentions(
-    transcripts: DataFrame, onto: Ontology, all_candidates: bool = False
+    transcripts: DataFrame,
+    onto: Ontology,
+    all_candidates: bool = False,
+    degradation_level: int = 0,
+    max_candidates_per_turn: int | None = None,
 ) -> DataFrame:
     """transcripts -> mentions(conv_id, turn_idx, start, end, surface, term_id, score).
 
@@ -47,11 +69,15 @@ def extract_mentions(
     scan task (candidates for a span are always co-located), so linking costs no
     shuffle. With ``all_candidates=True`` every candidate term per span is
     emitted; resolve later with :func:`link_best`.
+
+    ``degradation_level`` selects a reduced pattern set (repair ladder — see
+    ``dictionary.MAX_DEGRADATION_LEVEL``); ``max_candidates_per_turn`` raises
+    :class:`ExtractionError` when one turn explodes past the budget.
     """
     best_only = not all_candidates
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        matcher = get_matcher(onto)
+        matcher = get_matcher(onto, degradation_level)
         for pdf in batches:
             conv_ids: list[str] = []
             turn_idxs: list[int] = []
@@ -65,7 +91,15 @@ def extract_mentions(
             ):
                 if text is None:
                     continue  # diverted rows counted by split_valid_turns
-                for start, end, surf, tid, score in matcher.find(text, best_only=best_only):
+                found = matcher.find(text, best_only=best_only)
+                if (
+                    max_candidates_per_turn is not None
+                    and len(found) > max_candidates_per_turn
+                ):
+                    raise ExtractionError(
+                        str(cid), int(tix), len(found), max_candidates_per_turn
+                    )
+                for start, end, surf, tid, score in found:
                     conv_ids.append(cid)
                     turn_idxs.append(int(tix))
                     starts.append(start)

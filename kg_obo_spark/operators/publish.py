@@ -73,6 +73,70 @@ def directory_index(files: DataFrame, key_col: str = "key") -> DataFrame:
     )
 
 
+def index_dead_links(
+    index: DataFrame, manifest: DataFrame, key_col: str = "key"
+) -> DataFrame:
+    """Links in per-directory indexes whose target key is ABSENT from the
+    artifact manifest — the reference verifies every index link with a
+    head_object probe (upload.py:356-363); distributed, that probe is a
+    left-anti join of linked keys against the manifest. Returns (key) rows:
+    the dead links (empty = all indexes valid)."""
+    linked = index.select("dirname", F.explode("files").alias("basename")).select(
+        F.when(F.col("dirname") == "", F.col("basename"))
+        .otherwise(F.concat_ws("/", "dirname", "basename"))
+        .alias(key_col)
+    )
+    return linked.join(manifest.select(key_col).distinct(), key_col, "left_anti")
+
+
+def root_index(files: DataFrame, key_col: str = "key") -> DataFrame:
+    """Root-level index (upload.py:283-384, ``update_root=True`` path): one
+    row with the first-level directories split into live (their
+    ``{dir}/index.html`` exists in the manifest — the head_object probe as a
+    semi-join) and dead (anti-join). ``index_html`` links ONLY live dirs,
+    mirroring the reference's "Could not find {sub_index} - will not write
+    link"."""
+    parts = F.split(F.col(key_col), "/")
+    dirs = (
+        files.filter(F.size(parts) > 1).select(parts.getItem(0).alias("dir")).distinct()
+    )
+    idx_dirs = (
+        files.filter(F.col(key_col).endswith("/index.html"))
+        .select(
+            F.col(key_col)
+            .substr(F.lit(1), F.length(key_col) - F.lit(len("/index.html")))
+            .alias("dir")
+        )
+        .distinct()
+    )
+    live = (
+        dirs.join(idx_dirs, "dir", "left_semi")
+        .agg(F.sort_array(F.collect_list("dir")).alias("dirs"))
+    )
+    dead = (
+        dirs.join(idx_dirs, "dir", "left_anti")
+        .agg(F.sort_array(F.collect_list("dir")).alias("dead_dirs"))
+    )
+    links = F.array_join(
+        F.transform(
+            "dirs",
+            lambda d: F.concat(
+                F.lit('<li><a href="'), d, F.lit('/">'), d, F.lit("/</a></li>")
+            ),
+        ),
+        "",
+    )
+    return live.crossJoin(dead).select(
+        "dirs",
+        "dead_dirs",
+        F.concat(
+            F.lit('<html><body><h2>Index of /</h2><ul><li><a href="../">../</a></li>'),
+            links,
+            F.lit("</ul></body></html>"),
+        ).alias("index_html"),
+    )
+
+
 def verify_uploads(files: DataFrame, name: str, key_col: str = "key") -> bool:
     """True iff every expected artifact pattern for ``name`` matches at least
     one produced file (upload.py:432-445 semantics)."""

@@ -64,12 +64,21 @@ def run_pipeline(
     n_buckets: int = 8,
     unit_batch_size: int | None = None,
     fail_after_batches: int | None = None,
+    max_candidates_per_turn: int | None = None,
+    max_degradation_level: int | None = None,
 ) -> PipelineResult:
     """Run (or resume) the full pipeline; returns the final node/edge frames.
 
     ``unit_batch_size``: units per atomic commit (None = all pending in one).
     ``fail_after_batches``: test hook — raise after N committed batches to
     exercise crash/resume.
+    ``max_candidates_per_turn`` arms the per-turn candidate budget; when a unit
+    batch blows it, the batch is retried at the next degradation level (repair
+    ladder, reference robot_utils.py:108-143 analog — see
+    dictionary.MAX_DEGRADATION_LEVEL) up to ``max_degradation_level``, and the
+    degradation is recorded in lineage (stage ``extract_degraded``,
+    remap_count = level). A batch that fails at every level re-raises, exactly
+    like the reference's final ``return False``.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     store = TrackingStore(out_root)
@@ -101,13 +110,17 @@ def run_pipeline(
         batch = unit_batch_size or max(len(pending), 1)
         batches = [pending[i : i + batch] for i in range(0, len(pending), batch)]
         done_batches = 0
+        from kg_obo_spark.dictionary import MAX_DEGRADATION_LEVEL
+
+        ladder_top = (
+            MAX_DEGRADATION_LEVEL
+            if max_degradation_level is None
+            else max_degradation_level
+        )
         for units in batches:
             sub = tr.filter(F.col("bucket").isin(units))
             valid, errors = split_valid_turns(sub)
             n_err = errors.count()
-            mentions = extract_mentions(valid, onto)
-            cm = canonical_mentions(mentions, cmap)
-
             n_in = sub.count()
             if n_err:
                 store.log_stage(
@@ -115,8 +128,33 @@ def run_pipeline(
                 )
             # one extraction pass: commit mentions, then derive edges from the
             # just-written parquet (never rescan the corpus, never recompute
-            # the Arrow extraction stage)
-            snap_m = mentions_t.commit(cm, mode="append", meta={"units": units})
+            # the Arrow extraction stage). Repair ladder: a candidate-budget
+            # blow-up fails the commit job before the snapshot registers
+            # (orphan data dir only), so retrying at a reduced level is safe.
+            snap_m = None
+            for level in range(ladder_top + 1):
+                mentions = extract_mentions(
+                    valid,
+                    onto,
+                    degradation_level=level,
+                    max_candidates_per_turn=max_candidates_per_turn,
+                )
+                cm = canonical_mentions(mentions, cmap)
+                try:
+                    snap_m = mentions_t.commit(cm, mode="append", meta={"units": units, "level": level})
+                except Exception as ex:
+                    if level >= ladder_top or "ExtractionError" not in str(ex):
+                        raise
+                    store.log_stage(
+                        spark,
+                        run_id,
+                        "extract_degraded",
+                        rows_in=n_in,
+                        rows_out=0,
+                        remap_count=level + 1,
+                    )
+                    continue
+                break
             batch_mentions = spark.read.parquet(json.loads(snap_m.data_dir)[-1])
             co = build_edges(batch_mentions, onto, include_isa=False)
             snap_e = co_edges_t.commit(co, mode="append", meta={"units": units})

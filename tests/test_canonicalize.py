@@ -84,3 +84,66 @@ def test_canonical_map_min_curie(spark):
     eq = spark.createDataFrame([("GO:2", "GO:1")], "a string, b string")
     m = {r["term_id"]: r["canonical_id"] for r in canonical_map(terms, eq).collect()}
     assert m == {"GO:2": "GO:1"}  # only changed mappings are materialized
+
+
+def test_generate_id_update_map_golden(spark):
+    """Reproduces examine_owl_names (robot_utils.py:223-331) from raw input:
+    repair shapes, capitalization, unknown-prefix unexpected ids."""
+    from kg_obo_spark.operators.canonicalize import generate_id_update_map
+
+    raw = spark.createDataFrame(
+        [
+            ("OBO:BFO_0000001",),                                  # OBO rewrite
+            ("obo:bfo.owl#BFO_0000002",),                          # .OWL# + lowercase obo
+            ("http://purl.obolibrary.org/obo/CHEBI_0000003",),     # IRI compression
+            ("go:0000004",),                                       # capitalize prefix
+            ("BFO:0000005",),                                      # canonical: NO row
+            ("XYZ:0000006",),                                      # unknown prefix
+            ("not an id",),                                        # junk
+        ],
+        "id string",
+    )
+    rows = {
+        r["old_id"]: (r["new_id"], r["repairable"])
+        for r in generate_id_update_map(
+            raw, known_prefixes=["BFO", "CHEBI", "GO", "PATO", "ENVO", "MONDO"]
+        ).collect()
+    }
+    assert rows["OBO:BFO_0000001"] == ("BFO:0000001", True)
+    assert rows["obo:bfo.owl#BFO_0000002"] == ("BFO:0000002", True)
+    assert rows["http://purl.obolibrary.org/obo/CHEBI_0000003"] == ("CHEBI:0000003", True)
+    assert rows["go:0000004"] == ("GO:0000004", True)
+    assert "BFO:0000005" not in rows
+    assert rows["XYZ:0000006"] == (None, False)
+    assert rows["not an id"] == (None, False)
+
+
+def test_generated_map_feeds_dual_key_apply(spark, tmp_path):
+    """End-to-end: the GENERATED map, fed to apply_id_update_map, rewrites ids
+    including the capitalized-prefix dual keys (transform.py:615-621) — the
+    reference's derive-then-apply loop from raw input alone."""
+    from kg_obo_spark.operators.canonicalize import (
+        apply_id_update_map,
+        generate_id_update_map,
+        write_id_update_artifacts,
+    )
+
+    raw = spark.createDataFrame([("bfo:0000001",), ("OBO:GO_0000002",)], "id string")
+    m = {
+        r["old_id"]: r["new_id"]
+        for r in generate_id_update_map(raw, known_prefixes=["BFO", "GO"])
+        .filter("repairable")
+        .collect()
+    }
+    nodes = spark.createDataFrame(
+        # Bfo: capitalized variant of the discovered bfo: key -> dual-key hit
+        [("bfo:0000001",), ("Bfo:0000001",), ("OBO:GO_0000002",), ("GO:0000009",)],
+        "id string",
+    )
+    out = {r["id"] for r in apply_id_update_map(nodes, ["id"], m).collect()}
+    assert out == {"BFO:0000001", "GO:0000002", "GO:0000009"}
+
+    mal, upd = write_id_update_artifacts(raw, str(tmp_path), known_prefixes=["BFO", "GO"])
+    lines = open(upd).read().splitlines()
+    assert lines[0] == "Old ID\tNew ID"
+    assert "OBO:GO_0000002\tGO:0000002" in lines

@@ -115,3 +115,29 @@ def test_link_best_window(spark):
     assert all_m.count() == 2
     best = link_best(all_m)
     assert [r["term_id"] for r in best.collect()] == ["CHEBI:0000003"]
+
+
+def test_matcher_degradation_levels(onto):
+    """Ladder semantics (dictionary.MAX_DEGRADATION_LEVEL): each level drops a
+    content class — synonyms, then all surfaces, then malformed-id repair."""
+    from kg_obo_spark.dictionary import build_matcher
+
+    term = onto.terms[0]
+    name, tid = term["name"], term["id"]
+    syn = next(s for t in onto.terms for s in t["synonyms"])
+    syn_tid = next(t["id"] for t in onto.terms if syn in t["synonyms"])
+    low = tid.split(":")[0].lower() + ":" + tid.split(":")[1]
+    text = f"{name} and {syn} plus {tid} or {low} and OBO:{tid.replace(':', '_')}"
+
+    def ids(level):
+        return [m[3] for m in build_matcher(onto, level).find(text)]
+
+    l0 = ids(0)
+    assert tid in l0 and syn_tid in l0 and l0.count(tid) >= 3  # curie+low+obo
+    l1 = ids(1)
+    assert syn_tid not in l1 or syn_tid == tid  # synonyms dropped
+    assert tid in l1  # names + ids survive
+    l2 = ids(2)
+    assert l2.count(tid) >= 3 and len(l2) <= len(l1)  # ids only, surfaces gone
+    l3 = ids(3)
+    assert l3.count(tid) == 1  # canonical CURIE only: no low/OBO repair

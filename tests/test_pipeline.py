@@ -91,3 +91,54 @@ def test_lineage_and_tracking_written(spark, onto, transcripts, tmp_path):
     assert t["current_version"] == onto.version
     assert store.transformed_exists(spark, onto.name, onto.version)
     assert not store.transformed_exists(spark, onto.name, "nope")
+
+
+def test_repair_ladder_degrades_poisoned_batch(spark, onto, tmp_path):
+    """A turn that blows the per-turn candidate budget at level 0 (synonym
+    boilerplate) completes at level 1 (synonyms dropped), with a lineage row
+    recording the degradation — the robot convert fallback-chain analog."""
+    from datetime import datetime
+
+    syn = next(s for t in onto.terms for s in t["synonyms"])
+    poisoned = spark.createDataFrame(
+        [("conv-poison", 0, "user", (syn + " ") * 30, "", datetime(2026, 1, 1))],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    clean = generate_transcripts(spark, n_convs=6, seed=5, ontology=onto)
+    tr = clean.unionByName(poisoned)
+
+    res = run_pipeline(
+        spark, tr, onto, str(tmp_path / "kg"),
+        n_buckets=2, max_candidates_per_turn=10,
+    )
+    store = TrackingStore(str(tmp_path / "kg"))
+    lin = store.lineage.read(spark)
+    deg = lin.filter(F.col("stage") == "extract_degraded").collect()
+    assert deg and max(r["remap_count"] for r in deg) == 1
+    # the degraded batch still extracted: primary labels + CURIEs survive
+    assert res.mentions.count() > 0
+    # the poisoned conversation itself produced no synonym-surface mentions
+    assert (
+        res.mentions.filter(
+            (F.col("conv_id") == "conv-poison") & (F.col("surface") == syn)
+        ).count()
+        == 0
+    )
+
+
+def test_repair_ladder_exhausted_reraises(spark, onto, tmp_path):
+    """Canonical-CURIE boilerplate explodes at EVERY level (level 3 still
+    matches canonical ids) -> the ladder exhausts and re-raises, mirroring the
+    reference's final `return False`."""
+    from datetime import datetime
+
+    tid = onto.terms[0]["id"]
+    poisoned = spark.createDataFrame(
+        [("conv-poison", 0, "user", (tid + " ") * 30, "", datetime(2026, 1, 1))],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    with pytest.raises(Exception, match="ExtractionError|candidates"):
+        run_pipeline(
+            spark, poisoned, onto, str(tmp_path / "kg2"),
+            n_buckets=1, max_candidates_per_turn=10,
+        )

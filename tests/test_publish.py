@@ -1,6 +1,8 @@
 """Publish-side operators: format tagging, index generation, upload checks,
 remap counting, set diff."""
 
+from pyspark.sql import functions as F
+
 from kg_obo_spark.operators.publish import (
     directory_index,
     file_set_diff,
@@ -52,3 +54,40 @@ def test_file_set_diff(spark):
     b = _files(spark, ["x", "z"])
     got = sorted(r["key"] for r in file_set_diff(a, b).collect())
     assert got == ["x", "y"]
+
+
+def test_index_dead_links_anti_join(spark):
+    """Planted dead link: the index references a key missing from the manifest
+    (the head_object probe as a left-anti join, upload.py:356-363)."""
+    from kg_obo_spark.operators.publish import directory_index, index_dead_links
+
+    files = spark.createDataFrame(
+        [("bfo/a.json",), ("bfo/b.json",), ("go/c.json",)], "key string"
+    )
+    idx = directory_index(files)
+    # manifest lost bfo/b.json after indexing
+    manifest = files.filter(F.col("key") != "bfo/b.json")
+    dead = [r["key"] for r in index_dead_links(idx, manifest).collect()]
+    assert dead == ["bfo/b.json"]
+    assert index_dead_links(idx, files).count() == 0
+
+
+def test_root_index_links_only_live_dirs(spark):
+    """Root index links only first-level dirs whose own index.html exists
+    (update_root path, upload.py:283-384); missing-index dirs are reported."""
+    from kg_obo_spark.operators.publish import root_index
+
+    files = spark.createDataFrame(
+        [
+            ("bfo/a.json",), ("bfo/index.html",),
+            ("go/c.json",),  # no index.html -> dead
+            ("pato/d.json",), ("pato/index.html",),
+            ("rootfile.txt",),  # not a directory
+        ],
+        "key string",
+    )
+    row = root_index(files).first()
+    assert row["dirs"] == ["bfo", "pato"]
+    assert row["dead_dirs"] == ["go"]
+    assert '<a href="bfo/">' in row["index_html"]
+    assert "go/" not in row["index_html"]
