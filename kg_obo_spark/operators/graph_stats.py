@@ -43,8 +43,12 @@ def degree_frame(edges: DataFrame, salted: bool = False, salt_buckets: int = 32)
     )
     if not salted:
         return endpoints.groupBy("id").agg(F.count("*").alias("degree"))
+    # deterministic salt: hash of row content + partition id — stable across
+    # task retries (monotonically_increasing_id is not), and commutative-sum
+    # correctness doesn't depend on WHICH bucket a row lands in
     salted_df = endpoints.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+        "_salt",
+        F.pmod(F.xxhash64("id", F.spark_partition_id()), F.lit(salt_buckets)),
     )
     partial = salted_df.groupBy("id", "_salt").agg(F.count("*").alias("_c"))
     return partial.groupBy("id").agg(F.sum("_c").alias("degree"))

@@ -25,9 +25,17 @@ def get_spark(
     ``shuffle_partitions`` defaults to the local parallelism — at cluster scale
     this should be ~2-3x total cores; AQE coalesces small partitions either way.
     """
+    import tempfile
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = f"local[{cpus}]"
+    # warehouse + derby metastore kept out of the repo cwd; needed for the
+    # bucketed-table layout (bucketBy/saveAsTable requires a metastore)
+    warehouse = os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE",
+        os.path.join(tempfile.gettempdir(), "kg_obo_spark_warehouse"),
+    )
     if shuffle_partitions is None:
         # local[N] → N; local[*] → cpus
         inner = master.split("[")[-1].rstrip("]")
@@ -57,6 +65,10 @@ def get_spark(
         # filesystem at high thread counts (measured 4-6x slowdown of warm
         # shuffles at local[32]). One sorted+indexed file per map task wins.
         .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+        .config("spark.sql.warehouse.dir", warehouse)
+        .config(
+            "spark.driver.extraJavaOptions", f"-Dderby.system.home={warehouse}"
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

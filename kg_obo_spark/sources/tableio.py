@@ -141,6 +141,32 @@ class Table:
         return spark.read.parquet(*dirs)
 
 
+# -------------------------------------------------------------- bucketed layout
+
+
+def save_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed metastore table (SURVEY §4.4 layout).
+
+    Tables bucketed by the SAME columns and bucket count join WITHOUT a
+    shuffle: Catalyst sees the matching output partitioning and plans a
+    sort-merge join with zero Exchange operators on either side — the
+    co-location contract for the mentions↔transcripts join family at 100 TB
+    (both sides bucketed by conv_id once at write time, every downstream join
+    free). Iceberg analog: ``bucket(N, conv_id)`` partition transform.
+    Plan pinned by tests/test_plans.py::test_bucketed_join_has_no_exchange."""
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+
+
 # ------------------------------------------------------------------- lock
 
 

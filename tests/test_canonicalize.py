@@ -147,3 +147,50 @@ def test_generated_map_feeds_dual_key_apply(spark, tmp_path):
     lines = open(upd).read().splitlines()
     assert lines[0] == "Old ID\tNew ID"
     assert "OBO:GO_0000002\tGO:0000002" in lines
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """Run-2 over (old graph + delta) via incremental_components equals the
+    full recompute, with the star-contraction running on a reduced graph
+    (fewer edges, <= rounds) — ROADMAP incremental-CC contract."""
+    from kg_obo_spark.operators.canonicalize import (
+        connected_components,
+        incremental_components,
+    )
+
+    # two chains + a singleton pair; delta merges the chains and adds new nodes
+    e1 = spark.createDataFrame(
+        [("a1", "a2"), ("a2", "a3"), ("b1", "b2"), ("b2", "b3"), ("c1", "c2")],
+        "u string, v string",
+    )
+    delta = spark.createDataFrame(
+        [("a3", "b1"), ("b3", "d1"), ("d1", "d2"), ("e1", "e2")],
+        "u string, v string",
+    )
+    prev, full_rounds = connected_components(e1, return_iterations=True)
+    inc, n_reduced, inc_rounds = incremental_components(prev, delta)
+    full = connected_components(e1.union(delta))
+
+    got = {(r["id"], r["component"]) for r in inc.collect()}
+    want = {(r["id"], r["component"]) for r in full.collect()}
+    assert got == want
+    # reduced graph is the delta rewritten through old components: 4 edges max
+    assert 0 < n_reduced <= delta.count()
+    assert n_reduced < e1.count() + delta.count()
+
+
+def test_incremental_components_empty_delta_is_noop(spark):
+    from kg_obo_spark.operators.canonicalize import (
+        connected_components,
+        incremental_components,
+    )
+
+    e1 = spark.createDataFrame([("a", "b"), ("b", "c")], "u string, v string")
+    prev = connected_components(e1)
+    # delta edges entirely inside one existing component -> nothing to do
+    delta = spark.createDataFrame([("a", "c")], "u string, v string")
+    inc, n_reduced, rounds = incremental_components(prev, delta)
+    assert n_reduced == 0 and rounds == 0
+    assert {(r["id"], r["component"]) for r in inc.collect()} == {
+        (r["id"], r["component"]) for r in prev.collect()
+    }

@@ -75,3 +75,32 @@ def test_q1_partial_agg_and_codegen(spark):
     final = _plan(df)
     assert "isFinalPlan=true" in final
     assert "*(" in final  # '*' prefix = operator inside a WholeStageCodegen span
+
+
+def test_bucketed_join_has_no_exchange(spark, onto, tmp_path):
+    """SURVEY §4.4: transcripts and mentions bucketed by conv_id with the same
+    bucket count join with ZERO Exchange operators — the write-once,
+    join-free-forever co-location contract."""
+    from kg_obo_spark.datagen import generate_transcripts
+    from kg_obo_spark.operators.extract import extract_mentions
+    from kg_obo_spark.sources.tableio import save_bucketed
+
+    tr = generate_transcripts(spark, n_convs=30, seed=7, ontology=onto)
+    m = extract_mentions(tr, onto)
+    save_bucketed(tr, "t_tr_bucketed", ["conv_id"], n_buckets=4)
+    save_bucketed(m, "t_m_bucketed", ["conv_id"], n_buckets=4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_tr_bucketed").join(
+            spark.table("t_m_bucketed"), "conv_id"
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing supplies the partitioning
+        assert "SelectedBucketsCount" in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_tr_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_m_bucketed")
