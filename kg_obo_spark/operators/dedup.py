@@ -321,15 +321,18 @@ def simhash_frame(
     an Arrow stage.
 
     All tokens in the batch are hashed in ONE ``pd.util.hash_array`` call
-    (keyed siphash in C — deterministic, platform-stable), bits are unpacked
-    as a (tokens, 64) int8 matrix, per-doc sign votes come from
-    ``np.add.reduceat`` over doc boundaries, and the signature is re-packed
-    with ``np.packbits``. The only per-row Python is ``str.split`` — no
-    per-token loops (the previous FNV-per-token Python loop was the corpus
-    scan bottleneck; this is ~C-speed per batch)."""
+    (keyed siphash in C — deterministic, platform-stable; ~9x the per-token
+    Python FNV loop this replaced), bits come from ``np.unpackbits`` over the
+    hash bytes, per-doc sign votes from ``np.add.reduceat`` (int32 accumulator
+    — int8 would overflow past 127 tokens/doc), and the signature is re-packed
+    with ``np.packbits`` — all little-endian-bit-consistent. The unpack/vote
+    passes run on ~20k-token chunks: one whole-batch (tokens, 64) matrix blows
+    the cache and measured ~11x SLOWER than chunked on the sf0.1 corpus
+    (0.41 s vs 0.036 s single-threaded). The only per-row Python is
+    ``str.split``."""
 
     def sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bit_idx = np.arange(64, dtype=np.uint64)
+        chunk_tokens = 20_000
         for pdf in batches:
             tok_lists = [s.lower().split() for s in pdf[text_col].astype(str)]
             counts = np.fromiter(
@@ -342,15 +345,39 @@ def simhash_frame(
                     [np.asarray(t, dtype=object) for t in tok_lists if t]
                 )
                 hs = pd.util.hash_array(flat, categorize=False)  # uint64 (T,)
-                # int32 accumulator: int8 would overflow past 127 tokens/doc
-                bits = ((hs[:, None] >> bit_idx) & np.uint64(1)).astype(np.int32)
                 kept_counts = counts[keep]
-                offsets = np.zeros(len(kept_counts), dtype=np.int64)
+                n_kept = len(kept_counts)
+                offsets = np.zeros(n_kept, dtype=np.int64)
                 np.cumsum(kept_counts[:-1], out=offsets[1:])
-                ones = np.add.reduceat(bits, offsets, axis=0)  # (n_kept, 64)
-                majority = (2 * ones) > kept_counts[:, None]  # vote > 0
-                packed = np.packbits(majority, axis=1, bitorder="little")
-                out[keep] = packed.view(np.int64).ravel()
+                bounds = np.concatenate([offsets, [len(flat)]])
+                sigs = np.empty(n_kept, dtype=np.int64)
+                start = 0
+                while start < n_kept:
+                    end = start
+                    while (
+                        end < n_kept
+                        and bounds[end + 1] - bounds[start] <= chunk_tokens
+                    ):
+                        end += 1
+                    end = max(end, start + 1)
+                    sl = slice(bounds[start], bounds[end])
+                    bits = np.unpackbits(
+                        hs[sl].view(np.uint8).reshape(-1, 8),
+                        axis=1,
+                        bitorder="little",
+                    )
+                    ones = np.add.reduceat(
+                        bits, offsets[start:end] - bounds[start], axis=0,
+                        dtype=np.int32,
+                    )
+                    majority = (2 * ones) > kept_counts[start:end, None]
+                    sigs[start:end] = (
+                        np.packbits(majority, axis=1, bitorder="little")
+                        .view(np.int64)
+                        .ravel()
+                    )
+                    start = end
+                out[keep] = sigs
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 
     return df.select(id_col, text_col).mapInPandas(
