@@ -756,6 +756,26 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_stub(media_from_documents(d))
 
 
+def q_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count: per-(event_type, shard) sketches merged
+    up to event_type — the two-level snapshot-merge path. The sketched domain
+    is bounded (user_id % 200) so DataSketches HLL stays in exact coupon mode
+    at every SF and the DuckDB exact-distinct oracle matches bit-for-bit."""
+    from kg_obo_spark.functions.sketches import estimate, merge_sketches, sketch_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    shard = ev.select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(7)).alias("shard"),
+        F.pmod(F.col("user_id"), F.lit(200)).alias("uid_bucket"),
+    )
+    per_shard = sketch_distinct(shard, "uid_bucket", ["event_type", "shard"])
+    merged = merge_sketches(per_shard, ["event_type"])
+    return merged.select(
+        "event_type", estimate("sketch").cast("long").alias("n_distinct")
+    )
+
+
 def q_publish_root_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Root index w/ dead-link probe (upload.py:283-384 update_root): sources
     ending in 3/7 have no per-dir index.html -> excluded from links, reported
@@ -853,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_payload": q_multimodal_payload,
         "publish_format_tag": q_publish_format_tag,
         "publish_index": q_publish_index,
+        "sketch_distinct_users": q_sketch_distinct_users,
         "publish_root_index": q_publish_root_index,
         "publish_dead_links": q_publish_dead_links,
         "set_diff_except": q_set_diff_except,
@@ -1355,6 +1376,11 @@ def oracle_sql() -> dict[str, str]:
                  f -> '<li><a href="' || f || '">' || f || '</a></li>'), '') ||
                '</ul></body></html>' AS index_html
         FROM grouped
+        """,
+        "sketch_distinct_users": """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id % 200) AS BIGINT) AS n_distinct
+        FROM events GROUP BY event_type
         """,
         "publish_root_index": """
         WITH dirs AS (SELECT DISTINCT source AS dir FROM documents),
