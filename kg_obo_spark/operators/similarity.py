@@ -279,18 +279,73 @@ def deterministic_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """First n vectors by id as centroids — deterministic, no RNG (workflow
-    constraint); real deployments would run k-means|| offline."""
+    """Hash-spread seed centroids — deterministic, no RNG: the ``n`` vectors
+    with the smallest ``xxhash64(id)`` are a uniform pseudo-random sample
+    (hash order is independent of id order, unlike a naive first-n, which
+    inherits whatever insertion bias the table has). Used as-is for quick
+    jobs; :func:`kmeans_centroids` refines them with Lloyd iterations."""
+    w = Window.orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
     return (
-        embeddings.orderBy(id_col)
-        .limit(n_centroids)
+        embeddings.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_centroids)
         .select(
-            F.row_number()
-            .over(Window.orderBy(id_col))
-            .alias("centroid_id"),
+            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
             F.col(vec_col).alias("centroid_vec"),
         )
     )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic distributed Lloyd refinement of the hash-spread seeds.
+
+    Each iteration: assign every vector to its nearest centroid (broadcast
+    centroids — the corpus never shuffles for the assignment) then recompute
+    means with posexplode -> groupBy(centroid, dim) avg -> collect back to an
+    array. Per iteration that is ONE shuffle whose rows are (centroids x dim)
+    partial sums after map-side aggregation — independent of corpus size.
+    Empty clusters keep their previous centroid (standard Lloyd fallback).
+    No RNG anywhere: same input -> same centroids, any cluster size."""
+    cents = deterministic_centroids(embeddings, n_centroids, id_col, vec_col)
+    for _ in range(iters):
+        assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode(vec_col).alias("dim", "val")
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))
+                ).alias("dm")
+            )
+            .select(
+                "centroid_id",
+                F.transform("dm", lambda x: x["m"].cast("float")).alias(
+                    "centroid_vec"
+                ),
+            )
+        )
+        # empty clusters: fall back to the previous centroid vector
+        prev = cents.select(
+            "centroid_id", F.col("centroid_vec").alias("_prev")
+        )
+        cents = (
+            prev.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("centroid_vec", "_prev").alias("centroid_vec"),
+            )
+            .localCheckpoint()
+        )
+    return cents
 
 
 def ivf_topk(
@@ -303,12 +358,19 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: scan only the ``nprobe`` cells nearest each query.
 
     At scale the assignment table is written partitioned by centroid_id, so a
-    query reads nprobe/n_centroids of the corpus (partition pruning)."""
-    cents = deterministic_centroids(embeddings, n_centroids, id_col, vec_col)
+    query reads nprobe/n_centroids of the corpus (partition pruning).
+    Pass ``centroids`` (e.g. from :func:`kmeans_centroids`) to override the
+    hash-spread seeds."""
+    cents = (
+        centroids
+        if centroids is not None
+        else deterministic_centroids(embeddings, n_centroids, id_col, vec_col)
+    )
     assigned = ivf_assign(embeddings, cents, id_col, vec_col)
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")

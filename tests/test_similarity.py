@@ -130,3 +130,25 @@ def test_ivf_recall_vs_exact(spark):
               ivf_topk(emb, q, k=5, n_centroids=6, nprobe=4).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6  # approximate path trades recall for pruning
+
+
+def test_kmeans_centroids_deterministic_and_effective(spark):
+    from kg_obo_spark.operators.similarity import kmeans_centroids
+
+    emb = _emb(spark, n=120)
+    a = {r["centroid_id"]: list(r["centroid_vec"]) for r in
+         kmeans_centroids(emb, n_centroids=6, iters=2).collect()}
+    b = {r["centroid_id"]: list(r["centroid_vec"]) for r in
+         kmeans_centroids(emb, n_centroids=6, iters=2).collect()}
+    assert a == b  # no RNG anywhere: bit-identical across runs
+    assert len(a) == 6 and all(len(v) == 8 for v in a.values())
+
+    # Lloyd refinement never hurts IVF recall on this corpus
+    q = _queries(emb)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=5).collect()}
+    seed = {(r["query_id"], r["neighbor_id"]) for r in
+            ivf_topk(emb, q, k=5, n_centroids=6, nprobe=2).collect()}
+    refined = {(r["query_id"], r["neighbor_id"]) for r in
+               ivf_topk(emb, q, k=5, n_centroids=6, nprobe=2,
+                        centroids=kmeans_centroids(emb, n_centroids=6, iters=2)).collect()}
+    assert len(exact & refined) >= len(exact & seed)
