@@ -51,3 +51,26 @@ def test_frame_sample_plan(spark):
     plan = frame_sample_plan(media, every_ms=100000)
     rows = plan.groupBy("media_id").count().collect()
     assert all(r["count"] >= 1 for r in rows)
+
+
+def test_resize_stub_plumbing(spark):
+    """Binary in -> binary out with typed dims; deterministic payloads; strict
+    mode raises at the codec plug point."""
+    import pytest
+
+    from kg_obo_spark.operators.multimodal import media_from_documents, resize_stub
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "s", "en"), (2, "other text", "s", "en")],
+        "doc_id long, text string, source string, lang string",
+    )
+    media = media_from_documents(docs)
+    out = resize_stub(media, width=128, height=128).collect()
+    assert {r["media_id"] for r in out} == {1, 2}
+    assert all(r["width"] == 128 and r["height"] == 128 for r in out)
+    assert all(isinstance(r["payload"], (bytes, bytearray)) and len(r["payload"]) == 16 for r in out)
+    # deterministic: same input -> same bytes
+    out2 = resize_stub(media, width=128, height=128).collect()
+    assert {bytes(r["payload"]) for r in out} == {bytes(r["payload"]) for r in out2}
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        resize_stub(media, strict=True).collect()
