@@ -82,40 +82,37 @@ def run_pipeline_bench(spark, transcripts_path: str) -> dict:
     report turns/sec + triples/sec. Pure dataflow — no snapshot-table commits —
     so the number measures compute, not local-disk writes."""
     from kg_obo_spark.operators.canonicalize import canonical_map
-    from kg_obo_spark.operators.extract import extract_mentions
-    from kg_obo_spark.operators.materialize import (
-        canonical_mentions,
-        edges_from_per_turn,
-        per_turn_terms,
-    )
+    from kg_obo_spark.operators.extract import extract_turn_terms
+    from kg_obo_spark.operators.materialize import edges_from_per_turn
 
     onto = _bench_ontology()
     tr = spark.read.parquet(transcripts_path)
     n_turns = tr.count()
 
     # setup (not timed): dictionary canonicalization map — a fixed artifact of
-    # the broadcast dictionary, independent of corpus size
+    # the broadcast dictionary, independent of corpus size. Collected to a
+    # plain dict: it IS the broadcast-scale small dimension.
     eq = spark.createDataFrame(onto.xrefs, "a string, b string")
     terms_df = spark.createDataFrame([(t["id"],) for t in onto.terms], "id string")
-    cmap = canonical_map(terms_df, eq)
+    cdict = {
+        r["term_id"]: r["canonical_id"] for r in canonical_map(terms_df, eq).collect()
+    }
 
     # warmup: spin up Python workers + JIT + matcher build on a slice, so the
     # timed window measures steady-state throughput (what a long job sees)
-    _noop(extract_mentions(tr.limit(2000), onto))
+    _noop(extract_turn_terms(tr.limit(2000), onto, cdict))
 
-    # two timed passes, keep the min: the steady-state number a long-running
-    # job sees (first pass pays page-cache/JIT/codegen warmup, which at high
-    # parallelism is a larger share of a shorter wall)
+    # timed passes, keep the min: the steady-state number a long-running job
+    # sees. Dataflow: FUSED scan (extract + canonical rewrite + per-turn
+    # reduce inside the task — zero full-mention-volume shuffle;
+    # extract.extract_turn_terms, output pinned equal to the shuffled
+    # per_turn_terms path by tests) -> edge expansion + distinct on the
+    # reduced frame.
     wall = float("inf")
     n_triples = 0
     for _ in range(3):
         t0 = time.time()
-        mentions = extract_mentions(tr, onto)
-        cm = canonical_mentions(mentions, cmap)
-        # single reduction of the full mention volume; downstream branches
-        # reuse this small frame (persist+materialize: two un-materialized
-        # consumers in one job run concurrently and would re-run extraction)
-        pt = per_turn_terms(cm).persist()
+        pt = extract_turn_terms(tr, onto, cdict).persist()
         pt.count()
         edges = edges_from_per_turn(pt, onto)
         n_triples = edges.count()

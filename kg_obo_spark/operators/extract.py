@@ -123,6 +123,56 @@ def extract_mentions(
     )
 
 
+def extract_turn_terms(
+    transcripts: DataFrame,
+    onto: Ontology,
+    canon: dict[str, str] | None = None,
+    degradation_level: int = 0,
+) -> DataFrame:
+    """Fused scan: (conv_id, turn_idx, terms array<string>) — per-turn sorted
+    distinct CANONICAL term ids computed inside the extraction task.
+
+    A turn's mentions are produced by the task that scans the turn, so the
+    per-turn reduce is task-local by construction: fusing it into the Arrow
+    stage removes the pipeline's only full-mention-volume shuffle
+    (materialize.per_turn_terms). The canonical map is applied as a plain
+    broadcast dict (it IS the small dimension — same object the union-find
+    fast path of canonical_map produces). Turns with no mentions emit no row,
+    matching groupBy semantics. Use when downstream only needs per-turn term
+    sets (co-mention edges, node ids); the offset-level mentions path
+    (extract_mentions) remains for lineage/resume artifacts."""
+    canon = canon or {}
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        matcher = get_matcher(onto, degradation_level)
+        for pdf in batches:
+            texts = pdf["text"].to_numpy()
+            bf = matcher.find_batch(list(texts), best_only=True)
+            keep_idx = []
+            terms_col = []
+            get = canon.get
+            for i, found in enumerate(bf):
+                if not found:
+                    continue
+                terms = sorted({get(t[3], t[3]) for t in found})
+                keep_idx.append(i)
+                terms_col.append(terms)
+            import numpy as np
+
+            ki = np.asarray(keep_idx, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].to_numpy()[ki],
+                    "turn_idx": pdf["turn_idx"].to_numpy()[ki].astype("int32"),
+                    "terms": terms_col,
+                }
+            )
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        scan, schema="conv_id string, turn_idx int, terms array<string>"
+    )
+
+
 def split_valid_turns(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(valid, errors): rows with null/empty text are diverted to an error
     frame instead of crashing the scan — the A8 error-count aggregation

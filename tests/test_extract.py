@@ -141,3 +141,31 @@ def test_matcher_degradation_levels(onto):
     assert l2.count(tid) >= 3 and len(l2) <= len(l1)  # ids only, surfaces gone
     l3 = ids(3)
     assert l3.count(tid) == 1  # canonical CURIE only: no low/OBO repair
+
+
+def test_extract_turn_terms_equals_shuffled_path(spark, onto):
+    """The fused map-only scan (extract+canonicalize+per-turn reduce in-task)
+    produces EXACTLY the frame of the shuffled path
+    per_turn_terms(canonical_mentions(extract_mentions(...)))."""
+    from kg_obo_spark.datagen import generate_transcripts
+    from kg_obo_spark.operators.canonicalize import canonical_map
+    from kg_obo_spark.operators.extract import extract_turn_terms
+    from kg_obo_spark.operators.materialize import canonical_mentions, per_turn_terms
+
+    tr = generate_transcripts(spark, n_convs=60, seed=31, ontology=onto)
+    eq = spark.createDataFrame(onto.xrefs or [("__none__", "__none__")], "a string, b string")
+    terms_df = spark.createDataFrame([(t["id"],) for t in onto.terms], "id string")
+    cmap = canonical_map(terms_df, eq)
+    cdict = {r["term_id"]: r["canonical_id"] for r in cmap.collect()}
+
+    shuffled = {
+        (r["conv_id"], r["turn_idx"], tuple(r["terms"]))
+        for r in per_turn_terms(
+            canonical_mentions(extract_mentions(tr, onto), cmap)
+        ).collect()
+    }
+    fused = {
+        (r["conv_id"], r["turn_idx"], tuple(r["terms"]))
+        for r in extract_turn_terms(tr, onto, cdict).collect()
+    }
+    assert fused == shuffled and fused
