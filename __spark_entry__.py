@@ -300,6 +300,29 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer, top-20 —
+    selective fact filter first, broadcast dims, exact-cents aggregation."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(cents) / 100.0, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: lineitem->orders->customer->nation->region multi-join,
     revenue per nation within one region."""
@@ -836,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": q4_order_priority,
         "q5_revenue_by_nation": q5_revenue_by_nation,
         "q7_volume_shipping": q7_volume_shipping,
+        "q10_returned_items": q10_returned_items,
         "revenue_by_segment": q_revenue_by_segment,
         "p1_filter_isin": q_p1_filter_isin,
         "p2_illegal_chars": q_p2_illegal_chars,
@@ -1021,6 +1045,18 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation n2 ON c_nationkey = n2.n_nationkey
         WHERE n1.n_name != n2.n_name
         GROUP BY 1, 2, 3
+        """,
+        "q10_returned_items": """
+        SELECT c_custkey, c_name, n_name,
+               round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0, 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
         """,
         "q5_revenue_by_nation": """
         SELECT n_name,
