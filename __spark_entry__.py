@@ -323,6 +323,83 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-cost-supplier correlated scalar subquery.
+
+    For each SMALL part under size 25, the EUROPE supplier(s) offering the
+    minimum unit price. The testdata has no partsupp table, so unit price is
+    l_extendedprice / l_quantity over that supplier's lineitems — the same
+    correlated ``= (SELECT min(..) WHERE ps_partkey = p_partkey)`` shape.
+    Decorrelated the way Catalyst would: per-part min aggregated once, then an
+    equi-join back on (partkey, exact min value) — no per-part re-scan. Dims
+    (part/supplier/nation/region) broadcast; the only shuffled relation is the
+    per-(part,supplier) offer aggregate, grouped on its natural key."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") < 25) & (F.col("p_type") == "SMALL")
+    )
+    offers = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("l_partkey", "l_suppkey", "s_name", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+    )
+    min_per_part = offers.groupBy(F.col("l_partkey").alias("_mp_partkey")).agg(
+        F.min("unit_price").alias("min_price")
+    )
+    best = offers.join(
+        min_per_part,
+        (F.col("l_partkey") == F.col("_mp_partkey"))
+        & (F.col("unit_price") == F.col("min_price")),
+    ).select("l_partkey", "l_suppkey", "s_name", "n_name", "unit_price")
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round("unit_price", 4).alias("unit_price"),
+        )
+    )
+
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and order year —
+    the deepest multi-fact join in the inventory (lineitem x part x supplier x
+    nation x orders). No partsupp in the testdata, so supply cost is
+    0.6 * p_retailprice * l_quantity (documented proxy; the join/agg shape is
+    what's exercised). Selective part filter first, dims broadcast,
+    exact-integer-cents aggregation (float sum-order discipline)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    profit_cents = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100,
+        0,
+    ).cast("long")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit_cents) / 100.0, 2).alias("sum_profit"))
+    )
+
+
 def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: lineitem->orders->customer->nation->region multi-join,
     revenue per nation within one region."""
@@ -844,8 +921,47 @@ def q_publish_dead_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- registry
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+# The driver's correctness gate records at most 50 registry entries per round
+# (CORRECTNESS_r01/r02 each hold exactly 50 rows). queries()/oracle_sql() are
+# therefore capped at DRIVER_QUERY_CAP entries; everything else lives in
+# all_queries()/all_oracle_sql() and stays verified by the LOCAL parity harness
+# (tools/parity_check.py + tests/test_entry_contract.py::test_rotated_parity).
+# Rotation history: r3 rotated out 10 long-stable shapes (q3/q4/q5/q7,
+# p3/a10/a12/a14, text_token_count, json_extract — all green in r1+r2) to make
+# room for the 8 entries the r2 cap silently skipped plus the new q2/q9.
+DRIVER_QUERY_CAP = 50
+
+_ROTATED_OUT = (
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_revenue_by_nation",
+    "q7_volume_shipping",
+    "p3_version_validation",
+    "a10_distinct_namespaces",
+    "a12_dedup_rows",
+    "a14_format_fanout",
+    "text_token_count",
+    "json_extract",
+)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every implemented query, including rotated-out entries — the set the
+    local parity harness sweeps."""
     return {
+        # --- first: entries with no driver CORRECTNESS row before r3
+        # (r2's 50-row cap cut the registry tail; VERDICT r2 item #1)
+        "multimodal_decode": q_multimodal_decode,
+        "publish_dead_links": q_publish_dead_links,
+        "set_diff_except": q_set_diff_except,
+        "pipeline_transcripts": q_pipeline_transcripts,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_ivf": q_ann_ivf,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
+        # --- new this round
+        "q2_min_price_supplier": q2_min_price_supplier,
+        "q9_profit_by_nation_year": q9_profit_by_nation_year,
         # KG construction ops (SQL-checked)
         "kg_mentions": q_kg_mentions,
         "kg_comention_edges": q_kg_comention_edges,
@@ -899,19 +1015,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "publish_index": q_publish_index,
         "sketch_distinct_users": q_sketch_distinct_users,
         "publish_root_index": q_publish_root_index,
-        "publish_dead_links": q_publish_dead_links,
-        "set_diff_except": q_set_diff_except,
-        # rows-only (non-SQL-expressible)
-        "pipeline_transcripts": q_pipeline_transcripts,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "ann_ivf": q_ann_ivf,
-        "emb_near_dup_lsh": q_emb_near_dup_lsh,
-        "multimodal_decode": q_multimodal_decode,
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The driver-checked registry: all_queries() minus rotated-out entries,
+    kept at <= DRIVER_QUERY_CAP so every entry gets a CORRECTNESS row."""
+    qs = {k: v for k, v in all_queries().items() if k not in _ROTATED_OUT}
+    assert len(qs) <= DRIVER_QUERY_CAP, f"registry {len(qs)} > cap {DRIVER_QUERY_CAP}"
+    return qs
+
+
+def all_oracle_sql() -> dict[str, str]:
     return {
         "kg_mentions": _DOC_MENTIONS_CTE + "SELECT doc_id, term_id FROM mentions",
         "kg_comention_edges": _DOC_MENTIONS_CTE
@@ -1057,6 +1172,40 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY c_custkey, c_name, n_name
         ORDER BY revenue DESC, c_custkey ASC
         LIMIT 20
+        """,
+        "q2_min_price_supplier": """
+        WITH offers AS (
+          SELECT l_partkey, l_suppkey, s_name, n_name,
+                 min(l_extendedprice / l_quantity) AS unit_price
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+          GROUP BY l_partkey, l_suppkey, s_name, n_name
+        )
+        SELECT p_partkey, p_name, s_name, n_name,
+               round(o.unit_price, 4) AS unit_price
+        FROM part
+        JOIN offers o ON o.l_partkey = p_partkey
+        WHERE p_size < 25 AND p_type = 'SMALL'
+          AND o.unit_price = (
+            SELECT min(o2.unit_price) FROM offers o2
+            WHERE o2.l_partkey = p_partkey
+          )
+        """,
+        "q9_profit_by_nation_year": """
+        SELECT n_name AS nation,
+               year(o_orderdate) AS o_year,
+               round(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity) * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
         """,
         "q5_revenue_by_nation": """
         SELECT n_name,
@@ -1450,3 +1599,9 @@ def oracle_sql() -> dict[str, str]:
                                            CAST(e2.embedding AS DOUBLE[])), 6) >= 0.35
         """,
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    """Driver-checked oracles: all_oracle_sql() restricted to queries()."""
+    qs = queries()
+    return {k: v for k, v in all_oracle_sql().items() if k in qs}

@@ -47,8 +47,10 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    queries = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # sweep the FULL registry (incl. rotated-out entries the driver no longer
+    # checks) so rotation never silently drops local verification
+    queries = entrymod.all_queries()
+    oracles = entrymod.all_oracle_sql()
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
