@@ -256,20 +256,39 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (max cosine). Centroids are a
-    broadcast dimension: (centroid_id, centroid_vec)."""
-    c = F.broadcast(centroids)
-    scored = embeddings.crossJoin(c).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("centroid_id"),
-        cosine(F.col(vec_col), F.col("centroid_vec")).alias("csim"),
+    """Assign each vector to its nearest centroid (max cosine, ties -> smallest
+    centroid_id) — **map-only**: the centroid table (a bounded dimension) is
+    collapsed to ONE array-of-structs row and broadcast-nested-loop-joined onto
+    the corpus, and the argmax is an ``array_max(transform(...))`` inside the
+    task. The corpus never shuffles and no window runs — the previous plan
+    (crossJoin -> corpus x C rows -> Window.partitionBy(vec_id) row_number)
+    exchanged C times the corpus per call, per Lloyd iteration.
+    Plan pinned by tests/test_plans.py::test_ivf_assign_is_map_only."""
+    cents_row = F.broadcast(
+        centroids.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("centroid_id").alias("cid"),
+                        F.col("centroid_vec").alias("cv"),
+                    )
+                )
+            ).alias("_cents")
+        )
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "centroid_id")
+    # struct max orders by (csim, -cid): greatest similarity, then smallest id —
+    # identical tie-break to the old desc-sort/row_number path
+    best = F.array_max(
+        F.transform(
+            "_cents",
+            lambda c: F.struct(
+                cosine(F.col(vec_col), c["cv"]).alias("csim"),
+                (-c["cid"]).alias("neg_cid"),
+            ),
+        )
+    )
+    return embeddings.crossJoin(cents_row).select(
+        id_col, vec_col, (-best["neg_cid"]).alias("centroid_id")
     )
 
 
@@ -282,16 +301,36 @@ def deterministic_centroids(
     """Hash-spread seed centroids — deterministic, no RNG: the ``n`` vectors
     with the smallest ``xxhash64(id)`` are a uniform pseudo-random sample
     (hash order is independent of id order, unlike a naive first-n, which
-    inherits whatever insertion bias the table has). Used as-is for quick
-    jobs; :func:`kmeans_centroids` refines them with Lloyd iterations."""
-    w = Window.orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
-    return (
-        embeddings.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_centroids)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
+    inherits whatever insertion bias the table has).
+
+    Selection is ``orderBy(hash, id).limit(n)``: Spark plans a distributed
+    TakeOrderedAndProject (per-partition top-n, merge on the driver) — never a
+    single-task global sort of the corpus (the r2 global-window regression).
+    The ≤n survivors are collected and re-emitted with centroid_id numbered in
+    id order (same numbering as before) — bounded by ``n_centroids``, which is
+    a small constant by contract. Used as-is for quick jobs;
+    :func:`kmeans_centroids` refines them with Lloyd iterations."""
+    small = (
+        embeddings.select(
+            F.xxhash64(F.col(id_col).cast("string")).alias("_h"),
+            F.col(id_col).alias("_id"),
             F.col(vec_col).alias("centroid_vec"),
         )
+        .orderBy("_h", "_id")
+        .limit(n_centroids)
+    )
+    rows = sorted(small.collect(), key=lambda r: r["_id"])
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    vec_type = embeddings.schema[vec_col].dataType
+    schema = StructType(
+        [
+            StructField("centroid_id", IntegerType(), False),
+            StructField("centroid_vec", vec_type, True),
+        ]
+    )
+    return embeddings.sparkSession.createDataFrame(
+        [(i + 1, r["centroid_vec"]) for i, r in enumerate(rows)], schema
     )
 
 

@@ -104,3 +104,40 @@ def test_bucketed_join_has_no_exchange(spark, onto, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_tr_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_m_bucketed")
+
+
+def test_ivf_assign_is_map_only(spark):
+    """VERDICT r2 #2/#3: the IVF assignment must not shuffle the corpus.
+    No Window, no hashpartitioning exchange — the only allowed exchange is the
+    SinglePartition collapse of the (bounded) centroid dimension."""
+    from tests.test_similarity import _emb
+    from kg_obo_spark.operators.similarity import deterministic_centroids, ivf_assign
+
+    emb = _emb(spark, n=60)
+    cents = deterministic_centroids(emb, n_centroids=4)
+    assigned = ivf_assign(emb, cents)
+    plan = _plan(assigned)
+    assert "Window" not in plan
+    assert "hashpartitioning(vec_id" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert assigned.count() == 60
+
+
+def test_deterministic_centroids_no_global_sort(spark):
+    """Seed selection plans as a distributed TakeOrderedAndProject over the
+    corpus — never a single-partition global window sort."""
+    from tests.test_similarity import _emb
+
+    emb = _emb(spark, n=60)
+    small = (
+        emb.select(
+            F.xxhash64(F.col("vec_id").cast("string")).alias("_h"),
+            F.col("vec_id").alias("_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        .orderBy("_h", "_id")
+        .limit(4)
+    )
+    plan = _plan(small)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
