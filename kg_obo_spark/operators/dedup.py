@@ -154,7 +154,10 @@ def minhash_signatures(
                 )
                 start = end
 
-    return sh.mapInPandas(gen, schema=f"{id_col} long, signature array<long>")
+    # derive the id field's type from the input schema — callers aren't
+    # limited to long ids (the previous hardcoded 'long' narrowed the API)
+    id_type = df.schema[id_col].dataType.simpleString()
+    return sh.mapInPandas(gen, schema=f"{id_col} {id_type}, signature array<long>")
 
 
 def _banded(signatures: DataFrame, id_col: str, bands: int) -> DataFrame:
@@ -268,8 +271,14 @@ def minhash_near_duplicates(
     buckets is observable."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     # signatures feed three consumers (banding + both sides of the verify
-    # join); materialize once instead of recomputing the shingle aggregation
-    sigs = sigs.localCheckpoint(eager=False)
+    # join) that all meet in ONE action. Eager checkpoint guarantees the Arrow
+    # signature stage runs exactly once regardless of plan shape — with lazy /
+    # no checkpoint the single run currently depends on AQE exchange reuse
+    # (measured: upstream accumulator sees each row once in all three
+    # variants, wall-clock identical within VM noise at sf0.1), but that is a
+    # plan-shape accident, not a contract. Pinned by
+    # tests/test_dedup.py::test_minhash_signature_stage_runs_once.
+    sigs = sigs.localCheckpoint(eager=True)
     sa = sigs.select(F.col(id_col).alias("a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("b"), F.col("signature").alias("sig_b"))
     cands = minhash_lsh_pairs(sigs, id_col, bands, max_bucket)
@@ -380,8 +389,9 @@ def simhash_frame(
                 out[keep] = sigs
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
-        sim, schema=f"{id_col} long, simhash long"
+        sim, schema=f"{id_col} {id_type}, simhash long"
     )
 
 

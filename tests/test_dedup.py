@@ -135,3 +135,38 @@ def test_ngram_jaccard_exact_values(spark):
     assert out[(1, 2)] == 1.0
     assert 0.4 < out[(1, 4)] < 1.0
     assert (1, 5) not in out
+
+
+def test_minhash_signature_stage_runs_once(spark):
+    """VERDICT r2 #4: the Arrow signature stage feeds three consumers in one
+    action; the eager checkpoint must make its UPSTREAM run exactly once.
+    Evidence: an accumulator-counting stage upstream of the signatures sees
+    each row once (it would see 2-3x with an un-materialized fan-out)."""
+    import pandas as pd
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_rows(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    base = _docs(spark).repartition(2)
+    counted = base.mapInPandas(count_rows, schema="doc_id long, text string")
+    out = minhash_near_duplicates(counted, num_hashes=32, bands=8, threshold=0.3)
+    out.collect()
+    assert acc.value == base.count()
+
+
+def test_minhash_and_simhash_preserve_string_ids(spark):
+    """ADVICE r2: the id column's type must survive the Arrow stage — the
+    schema is derived from the input, not hardcoded to long."""
+    rows = [("a", BASE), ("b", BASE), ("c", FAR)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    sigs = minhash_signatures(df, num_hashes=16)
+    assert dict(sigs.dtypes)["doc_id"] == "string"
+    got = {r["doc_id"]: r["signature"] for r in sigs.collect()}
+    assert got["a"] == got["b"] != got["c"]
+    sh = simhash_frame(df)
+    assert dict(sh.dtypes)["doc_id"] == "string"
+    assert sh.count() == 3
