@@ -38,6 +38,15 @@ MENTIONS_SCHEMA = (
 )
 
 
+# Unique sentinel embedded in every ExtractionError message. The error is
+# raised inside a Spark task, so only its TEXT crosses the Py4J boundary —
+# the driver-side repair ladder (plans/pipeline.py) matches this marker, not
+# the class name, so a Spark change to exception framing (truncated worker
+# tracebacks, reworded wrappers) can't break the ladder, and an unrelated
+# failure whose traceback merely mentions "ExtractionError" can't trigger it.
+EXTRACTION_BUDGET_MARKER = "<<kg-obo-spark:extraction-budget-exceeded>>"
+
+
 class ExtractionError(RuntimeError):
     """A turn exceeded the per-turn candidate budget — the distributed analog
     of robot convert choking on a pathological ontology (robot_utils.py:108):
@@ -48,8 +57,9 @@ class ExtractionError(RuntimeError):
 
     def __init__(self, conv_id: str, turn_idx: int, n_candidates: int, cap: int):
         super().__init__(
-            f"turn ({conv_id},{turn_idx}) produced {n_candidates} mention "
-            f"candidates > cap {cap}; retry at a higher degradation level"
+            f"{EXTRACTION_BUDGET_MARKER} turn ({conv_id},{turn_idx}) produced "
+            f"{n_candidates} mention candidates > cap {cap}; retry at a higher "
+            f"degradation level"
         )
         self.conv_id = conv_id
         self.turn_idx = turn_idx

@@ -34,7 +34,11 @@ from pyspark.sql import functions as F
 
 from kg_obo_spark.datagen.ontology import Ontology
 from kg_obo_spark.operators.canonicalize import canonical_map
-from kg_obo_spark.operators.extract import extract_mentions, split_valid_turns
+from kg_obo_spark.operators.extract import (
+    EXTRACTION_BUDGET_MARKER,
+    extract_mentions,
+    split_valid_turns,
+)
 from kg_obo_spark.operators.materialize import (
     build_edges,
     build_isa_edges,
@@ -143,7 +147,10 @@ def run_pipeline(
                 try:
                     snap_m = mentions_t.commit(cm, mode="append", meta={"units": units, "level": level})
                 except Exception as ex:
-                    if level >= ladder_top or "ExtractionError" not in str(ex):
+                    # match the unique sentinel ExtractionError embeds in its
+                    # message — robust to Py4J/traceback re-framing and immune
+                    # to unrelated errors that merely mention the class name
+                    if level >= ladder_top or EXTRACTION_BUDGET_MARKER not in str(ex):
                         raise
                     store.log_stage(
                         spark,

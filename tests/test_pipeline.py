@@ -142,3 +142,25 @@ def test_repair_ladder_exhausted_reraises(spark, onto, tmp_path):
             spark, poisoned, onto, str(tmp_path / "kg2"),
             n_buckets=1, max_candidates_per_turn=10,
         )
+
+
+def test_ladder_trigger_survives_message_reframing(spark, onto, tmp_path):
+    """VERDICT r2 #5: the ladder keys on the unique sentinel in the message,
+    so a Py4J-style re-framing of the wrapped text still fires the ladder,
+    while an unrelated error that merely MENTIONS the class name does not."""
+    from kg_obo_spark.operators.extract import (
+        EXTRACTION_BUDGET_MARKER,
+        ExtractionError,
+    )
+
+    err = ExtractionError("c", 0, 99, 10)
+    # simulate Spark wrapping/re-framing the worker traceback
+    reframed = RuntimeError(
+        "Job aborted due to stage failure: ...\n"
+        f"pyspark.errors.PythonException: {err}\n...worker trace truncated..."
+    )
+    assert EXTRACTION_BUDGET_MARKER in str(reframed)
+    impostor = RuntimeError(
+        "commit failed while writing ExtractionError log summary"
+    )
+    assert EXTRACTION_BUDGET_MARKER not in str(impostor)
