@@ -182,8 +182,7 @@ def run_pipeline(
                 rows_out=snap_e.meta["batch_rows"],
                 snapshot_id=snap_e.snapshot_id,
             )
-            for u in units:
-                store.mark_unit_done(spark, run_id, str(u))
+            store.mark_units_done(spark, run_id, [str(u) for u in units])
             done_batches += 1
             if fail_after_batches is not None and done_batches >= fail_after_batches:
                 raise RuntimeError(f"injected failure after {done_batches} batches")

