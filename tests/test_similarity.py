@@ -152,3 +152,36 @@ def test_kmeans_centroids_deterministic_and_effective(spark):
                ivf_topk(emb, q, k=5, n_centroids=6, nprobe=2,
                         centroids=kmeans_centroids(emb, n_centroids=6, iters=2)).collect()}
     assert len(exact & refined) >= len(exact & seed)
+
+
+def test_ivf_index_partition_prunes(spark, tmp_path):
+    """On-disk IVF: probe reads ONLY the queried cells' hive partitions
+    (PartitionFilters isin), and results equal the in-memory ivf_topk with
+    the same centroids."""
+    from kg_obo_spark.operators.similarity import (
+        build_ivf_index,
+        deterministic_centroids,
+        ivf_index_topk,
+    )
+
+    emb = _emb(spark, n=80)
+    root = str(tmp_path / "ivf")
+    cents = build_ivf_index(emb, root, n_centroids=6)
+    q = _queries(emb)
+    out = ivf_index_topk(spark, root, q, k=5, nprobe=2)
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(emb, q, k=5, nprobe=2, centroids=cents).collect()
+    }
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out.collect()}
+    assert got == want and len(got) == 10
+    # partition pruning is visible in the executed plan of the probe scan
+    from kg_obo_spark.sources.tableio import Table
+    from pyspark.sql import functions as FF
+
+    probe = Table(f"{root}/ivf_assignment").read(spark).filter(
+        FF.col("centroid_id").isin([1, 2])
+    )
+    probe.collect()
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:120]
