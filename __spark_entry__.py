@@ -876,6 +876,46 @@ def q_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch set operations: distinct users per event type plus
+    distinct-of-UNION and INTERSECTION cardinality from the sketches alone —
+    the set-op family HLL cannot answer. Sketches are built per shard and
+    merged (the cross-snapshot path); the sketched domain (user_id % 150)
+    stays below k=256, so every estimate is EXACT and the DuckDB
+    count-distinct/INTERSECT oracle matches bit-for-bit."""
+    from kg_obo_spark.functions.sketches import (
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_merge,
+        kmv_sketch,
+        kmv_union_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    shard = ev.select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(5)).alias("shard"),
+        F.pmod(F.col("user_id"), F.lit(150)).alias("bucket"),
+    )
+    per_shard = kmv_sketch(shard, "bucket", ["event_type", "shard"])
+    merged = kmv_merge(per_shard, ["event_type"])
+    two = merged.groupBy().pivot("event_type", ["click", "purchase"]).agg(
+        F.first("sketch")
+    )
+    return two.select(
+        kmv_estimate("click").cast("long").alias("n_click"),
+        kmv_estimate("purchase").cast("long").alias("n_purchase"),
+        kmv_union_estimate(F.col("click"), F.col("purchase"))
+        .cast("long")
+        .alias("n_union"),
+        kmv_intersect_estimate(F.col("click"), F.col("purchase"))
+        .cast("long")
+        .alias("n_intersect"),
+    )
+
+
 def q_publish_root_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Root index w/ dead-link probe (upload.py:283-384 update_root): sources
     ending in 3/7 have no per-dir index.html -> excluded from links, reported
@@ -942,6 +982,8 @@ _ROTATED_OUT = (
     "a14_format_fanout",
     "text_token_count",
     "json_extract",
+    "emb_norm_stats",  # r3: rotated to admit kmv_set_ops (emb family keeps
+    # ann_cosine_topk + emb_near_dup driver-checked)
 )
 
 
@@ -1014,6 +1056,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "publish_format_tag": q_publish_format_tag,
         "publish_index": q_publish_index,
         "sketch_distinct_users": q_sketch_distinct_users,
+        "kmv_set_ops": q_kmv_set_ops,
         "publish_root_index": q_publish_root_index,
     }
 
@@ -1561,6 +1604,17 @@ def all_oracle_sql() -> dict[str, str]:
                  f -> '<li><a href="' || f || '">' || f || '</a></li>'), '') ||
                '</ul></body></html>' AS index_html
         FROM grouped
+        """,
+        "kmv_set_ops": """
+        WITH c AS (
+          SELECT DISTINCT user_id % 150 AS b FROM events WHERE event_type = 'click'
+        ), p AS (
+          SELECT DISTINCT user_id % 150 AS b FROM events WHERE event_type = 'purchase'
+        )
+        SELECT (SELECT count(*) FROM c) AS n_click,
+               (SELECT count(*) FROM p) AS n_purchase,
+               (SELECT count(*) FROM (SELECT b FROM c UNION SELECT b FROM p)) AS n_union,
+               (SELECT count(*) FROM (SELECT b FROM c INTERSECT SELECT b FROM p)) AS n_intersect
         """,
         "sketch_distinct_users": """
         SELECT event_type,

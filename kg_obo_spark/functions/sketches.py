@@ -73,3 +73,84 @@ def partition_sketch_lineage(
             F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch"),
         )
     )
+
+
+# ------------------------------------------------------- KMV / theta sketches
+
+
+KMV_K = 256
+_U64 = float(2**64)
+_OFF = float(2**63)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = KMV_K,
+) -> DataFrame:
+    """(group..., sketch array<long>): the k minimum ``xxhash64`` values of the
+    column per group — a theta/KMV sketch. Unlike HLL it supports
+    INTERSECTION estimates (:func:`kmv_intersect_estimate`), the set-op the
+    reference's file-diff/overlap checks need without a rescan.
+
+    Two-phase: per-(group, input partition) k-mins first (bounds any single
+    aggregation buffer by the partition's distincts), then an array merge —
+    the same map-side-combine shape as a theta sketch build. A set with fewer
+    than k distincts yields its FULL hash set (exact mode, theta = 1), so
+    bounded domains give exact answers — the oracle trick used for HLL."""
+    h = F.xxhash64(F.col(value_col).cast("string"))
+    keys = list(group_cols or [])
+    part = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy(*keys, "_pid")
+        .agg(F.slice(F.array_sort(F.collect_set(h)), 1, k).alias("sketch"))
+    )
+    return kmv_merge(part, keys or None, k)
+
+
+def kmv_merge(
+    sketches: DataFrame, group_cols: list[str] | None = None, k: int = KMV_K
+) -> DataFrame:
+    """Union KMV sketch rows into one sketch per group — associative and
+    commutative (k smallest of the union of k-smallest sets)."""
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("sketch")))), 1, k
+    ).alias("sketch")
+    if group_cols:
+        return sketches.groupBy(*group_cols).agg(merged)
+    return sketches.agg(merged)
+
+
+def _theta(sketch: Column, k: int) -> Column:
+    """Normalized sampling probability of a sketch: 1.0 in exact mode
+    (fewer than k values), else the k-th smallest hash mapped to (0, 1)."""
+    return F.when(F.size(sketch) < k, F.lit(1.0)).otherwise(
+        (F.element_at(sketch, k).cast("double") + _OFF + 1.0) / _U64
+    )
+
+
+def kmv_estimate(sketch: Column | str, k: int = KMV_K) -> Column:
+    """Distinct-count estimate: exact size below k, else (k-1)/theta."""
+    s = F.col(sketch) if isinstance(sketch, str) else sketch
+    return F.when(F.size(s) < k, F.size(s).cast("double")).otherwise(
+        F.lit(float(k - 1)) / _theta(s, k)
+    )
+
+
+def kmv_union_estimate(a: Column, b: Column, k: int = KMV_K) -> Column:
+    """Distinct-of-union estimate from two sketches (no data rescan)."""
+    u = F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+    return kmv_estimate(u, k)
+
+
+def kmv_intersect_estimate(a: Column, b: Column, k: int = KMV_K) -> Column:
+    """Intersection-cardinality estimate — the theta-sketch rule: count hash
+    values present in BOTH sketches below the smaller theta, scaled by it.
+    Exact when both sketches are in exact mode (theta = 1)."""
+    theta = F.least(_theta(a, k), _theta(b, k))
+    cut = theta * _U64 - _OFF - 1.0
+    matches = F.size(
+        F.filter(F.array_intersect(a, b), lambda x: x.cast("double") <= cut)
+    )
+    return matches.cast("double") / theta

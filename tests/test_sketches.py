@@ -40,3 +40,62 @@ def test_cross_snapshot_merge_without_rescan(spark, tmp_path):
     exact = b1.union(b2).distinct().count()
     assert abs(merged - exact) / exact < 0.03
     assert merged != 2000  # it deduplicates across snapshots, not a row sum
+
+
+def test_kmv_exact_mode_and_merge(spark):
+    """Bounded domain (< k distincts): KMV sketches are exact for size, union
+    AND intersection; shard-merged sketch == whole-frame sketch."""
+    from pyspark.sql import functions as F
+
+    from kg_obo_spark.functions.sketches import (
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_merge,
+        kmv_sketch,
+        kmv_union_estimate,
+    )
+
+    rows = [(i, "click" if i % 3 else "purchase") for i in range(3000)]
+    df = spark.createDataFrame(rows, "uid long, et string").withColumn(
+        "bucket", F.pmod("uid", F.lit(150))
+    ).repartition(8)
+    sk = kmv_sketch(df, "bucket", ["et"])
+    est = {r["et"]: r["e"] for r in sk.select("et", kmv_estimate("sketch").alias("e")).collect()}
+    true_click = df.filter("et='click'").select("bucket").distinct().count()
+    true_pur = df.filter("et='purchase'").select("bucket").distinct().count()
+    assert est["click"] == float(true_click)
+    assert est["purchase"] == float(true_pur)
+    # shard-merge associativity: sketch built per shard then merged == direct
+    sharded = kmv_sketch(
+        df.withColumn("shard", F.pmod("uid", F.lit(5))), "bucket", ["et", "shard"]
+    )
+    remerged = kmv_merge(sharded, ["et"])
+    a = {r["et"]: list(r["sketch"]) for r in sk.collect()}
+    b = {r["et"]: list(r["sketch"]) for r in remerged.collect()}
+    assert a == b
+    # exact union / intersection vs recomputed truth
+    two = (
+        sk.groupBy()
+        .pivot("et", ["click", "purchase"])
+        .agg(F.first("sketch"))
+    )
+    got = two.select(
+        kmv_union_estimate(F.col("click"), F.col("purchase")).alias("u"),
+        kmv_intersect_estimate(F.col("click"), F.col("purchase")).alias("i"),
+    ).first()
+    cl = {r["bucket"] for r in df.filter("et='click'").select("bucket").distinct().collect()}
+    pu = {r["bucket"] for r in df.filter("et='purchase'").select("bucket").distinct().collect()}
+    assert got["u"] == float(len(cl | pu))
+    assert got["i"] == float(len(cl & pu))
+
+
+def test_kmv_estimation_mode_accuracy(spark):
+    """Above k distincts the estimate enters theta mode: within ~10% rel err
+    at k=256 over 20k distincts (deterministic hash, no flake)."""
+    from pyspark.sql import functions as F
+
+    from kg_obo_spark.functions.sketches import kmv_estimate, kmv_sketch
+
+    df = spark.range(20000).toDF("uid").repartition(8)
+    est = kmv_sketch(df, "uid").select(kmv_estimate("sketch").alias("e")).first()["e"]
+    assert abs(est - 20000) / 20000 < 0.10
