@@ -356,6 +356,9 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") == F.col("_mp_partkey"))
         & (F.col("unit_price") == F.col("min_price")),
     ).select("l_partkey", "l_suppkey", "s_name", "n_name", "unit_price")
+    # floor to 1e-4 units rather than round(…, 4): both engines floor the
+    # IDENTICAL IEEE double, so there is no half-even-vs-half-away boundary
+    # (round() diverged on .5 ties at sf0.1)
     return (
         best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
         .select(
@@ -363,7 +366,7 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_name",
             "s_name",
             "n_name",
-            F.round("unit_price", 4).alias("unit_price"),
+            F.floor(F.col("unit_price") * 10000).cast("long").alias("unit_price_e4"),
         )
     )
 
@@ -632,6 +635,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, shingle_k=3, threshold=0.08)
+
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair detection -> actionable dedup groups: n-gram Jaccard pairs folded
+    into connected components; every document maps to its group representative
+    (component min; unpaired docs map to themselves). Oracled with a
+    recursive-CTE closure over the SAME SQL pair set."""
+    from kg_obo_spark.operators.dedup import near_dup_groups
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, shingle_k=3, threshold=0.08).select("a", "b")
+    return near_dup_groups(pairs, d)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -984,6 +999,8 @@ _ROTATED_OUT = (
     "json_extract",
     "emb_norm_stats",  # r3: rotated to admit kmv_set_ops (emb family keeps
     # ann_cosine_topk + emb_near_dup driver-checked)
+    "cube_revenue",  # r3: rotated to admit dedup_groups (rollup family keeps
+    # pivot_status driver-checked)
 )
 
 
@@ -1044,6 +1061,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_groups": q_dedup_groups,
         "ann_cosine_topk": q_ann_cosine_topk,
         "emb_norm_stats": q_emb_norm_stats,
         "emb_near_dup": q_emb_near_dup,
@@ -1228,7 +1246,7 @@ def all_oracle_sql() -> dict[str, str]:
           GROUP BY l_partkey, l_suppkey, s_name, n_name
         )
         SELECT p_partkey, p_name, s_name, n_name,
-               round(o.unit_price, 4) AS unit_price
+               CAST(floor(o.unit_price * 10000) AS BIGINT) AS unit_price_e4
         FROM part
         JOIN offers o ON o.l_partkey = p_partkey
         WHERE p_size < 25 AND p_type = 'SMALL'
@@ -1459,6 +1477,43 @@ def all_oracle_sql() -> dict[str, str]:
         JOIN sizes na ON na.doc_id = a
         JOIN sizes nb ON nb.doc_id = b
         WHERE common * 1.0 / (na.n + nb.n - common) >= 0.08
+        """,
+        "dedup_groups": r"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> len(t) > 0) AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) < 3 THEN []
+                 ELSE list_transform(range(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END
+          )) AS shingle
+          FROM toks
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS common
+          FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT a, b FROM inter
+          JOIN sizes na ON na.doc_id = a
+          JOIN sizes nb ON nb.doc_id = b
+          WHERE common * 1.0 / (na.n + nb.n - common) >= 0.08
+        ),
+        sym AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        reach(id, r) AS (
+          SELECT u, u FROM sym
+          UNION
+          SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.id
+        ),
+        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS representative
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN comp c ON c.id = d.doc_id
         """,
         "ann_cosine_topk": """
         WITH q AS (

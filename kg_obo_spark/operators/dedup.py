@@ -503,3 +503,31 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ------------------------------------------------------------ dedup groups
+
+
+def near_dup_groups(
+    pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, representative): fold near-dup PAIRS into dedup GROUPS.
+
+    Pairs (from any of the family's candidate generators — exact, n-gram
+    Jaccard, MinHash, SimHash, embedding LSH) are edges of an undirected
+    graph; a dedup group is its connected component and the survivor is the
+    component minimum (deterministic). Docs in no pair are their own
+    representative. This is the step that turns pair detection into an
+    actionable keep/drop decision at corpus scale: downstream keeps
+    ``id == representative`` rows. CC is the engine's star-contraction
+    (bounded rounds, localCheckpoint per round); the final join is a left
+    join of the id universe against the (small) component table."""
+    from kg_obo_spark.operators.canonicalize import connected_components
+
+    cc = connected_components(pairs.select(pairs.columns[0], pairs.columns[1]))
+    ids = all_ids.select(F.col(id_col)).distinct()
+    return ids.join(
+        cc.withColumnRenamed("id", id_col), id_col, "left"
+    ).select(
+        id_col, F.coalesce("component", F.col(id_col)).alias("representative")
+    )

@@ -170,3 +170,27 @@ def test_minhash_and_simhash_preserve_string_ids(spark):
     sh = simhash_frame(df)
     assert dict(sh.dtypes)["doc_id"] == "string"
     assert sh.count() == 3
+
+
+def test_near_dup_groups_transitive_and_singletons(spark):
+    """Pairs fold into transitive groups (1-2, 2-3 => {1,2,3} -> rep 1);
+    unpaired docs are their own representative."""
+    from kg_obo_spark.operators.dedup import near_dup_groups
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "a long, b long")
+    ids = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    got = {r["doc_id"]: r["representative"] for r in near_dup_groups(pairs, ids).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_near_dup_groups_composes_with_jaccard(spark):
+    """End-to-end: jaccard pairs over the fixture docs -> groups; the
+    exact-dup trio plus the near-dup all collapse to representative 1."""
+    from kg_obo_spark.operators.dedup import near_dup_groups, ngram_jaccard_pairs
+
+    docs = _docs(spark)
+    pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.3)
+    got = {r["doc_id"]: r["representative"] for r in
+           near_dup_groups(pairs, docs).collect()}
+    assert got[1] == got[2] == got[3] == got[4] == 1
+    assert got[5] == got[6]  # FAR and FAR-with-tail are jaccard-near
