@@ -605,8 +605,17 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # floor-to-1e-6 integer, not round(…, 6): engines disagree on .5 ties
+    # (doc 1214 at sf0.1); floor of the identical IEEE double is identical
+    from kg_obo_spark.functions.text import quality_score_raw
+
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    return d.select(
+        "doc_id",
+        F.floor(quality_score_raw(F.col("text")) * 1e6)
+        .cast("long")
+        .alias("quality_e6"),
+    )
 
 
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1404,7 +1413,7 @@ def all_oracle_sql() -> dict[str, str]:
         FROM documents
         """,
         "text_quality": r"""
-        SELECT doc_id, round(
+        SELECT doc_id, CAST(floor((
             0.4 * least(len(text) / 500.0, 1.0)
           + 0.3 * (CASE WHEN len(text) = 0 THEN 0.0
                         ELSE len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / len(text) END)
@@ -1413,7 +1422,7 @@ def all_oracle_sql() -> dict[str, str]:
                              ['the','a','an','and','or','of','to','in','is','it'], t))) * 1.0 / len(toks) END)
           - 0.2 * (CASE WHEN len(text) = 0 THEN 0.0
                         ELSE len(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / len(text) END)
-          , 6) AS quality
+          ) * 1e6) AS BIGINT) AS quality_e6
         FROM (
           SELECT doc_id, text,
                  list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> len(t) > 0) AS toks

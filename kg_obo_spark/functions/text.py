@@ -73,18 +73,26 @@ def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(hits / F.size(toks))
 
 
-def quality_score(col: Column) -> Column:
-    """Composite quality score in [~0, 1]: rewards length (saturating at 500
-    chars), alphabetic density and stopword naturalness; penalizes punctuation
-    soup. Deterministic, documented formula (mirrored in SQL)."""
+def quality_score_raw(col: Column) -> Column:
+    """Unrounded composite quality score in [~0, 1]: rewards length
+    (saturating at 500 chars), alphabetic density and stopword naturalness;
+    penalizes punctuation soup. Deterministic, documented formula (mirrored
+    in SQL term-for-term, same evaluation order)."""
     length_term = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
-    return F.round(
+    return (
         0.4 * length_term
         + 0.3 * alpha_ratio(col)
         + 0.3 * stopword_ratio(col)
-        - 0.2 * punct_ratio(col),
-        6,
+        - 0.2 * punct_ratio(col)
     )
+
+
+def quality_score(col: Column) -> Column:
+    """:func:`quality_score_raw` rounded to 6dp for display. For cross-engine
+    value comparison use ``floor(quality_score_raw(c) * 1e6)`` instead —
+    round() tie behavior differs between engines on exact .5 doubles (found
+    at sf0.1: 0.5206875 rounded up by Spark, down by DuckDB)."""
+    return F.round(quality_score_raw(col), 6)
 
 
 def lang_marker_hits(col: Column, lang: str) -> Column:
