@@ -80,3 +80,44 @@ def test_union_find_canonical_is_min(deltas):
     uf = union_find(pairs)
     lo = min(names)
     assert all(v == lo for v in uf.values())
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.sampled_from(
+                [
+                    "material entity", "material", "MATERIAL Entity",
+                    "OBO:BFO_0000001", "bfo:0000001", "BFO:0000001",
+                    "http://purl.obolibrary.org/obo/BFO_0000001",
+                    "", "İstanbul material", "x" * 30, "a:1234567",
+                ]
+            ),
+            st.text(max_size=25),  # arbitrary unicode incl. NUL-adjacent
+        ),
+        min_size=0,
+        max_size=8,
+    )
+)
+def test_find_batch_equals_per_row_find(texts):
+    """The batched scan (NUL-joined haystack, pre-lowered caseless trie,
+    offset re-bucketing, possessive id regex) must agree with the per-row
+    reference path on ARBITRARY text — including strings containing NUL,
+    case-folding length changes (İ), and boundary-adjacent ids."""
+    onto = build_ontology(n_terms=12, seed=1)
+    onto.terms = [
+        {
+            "id": "BFO:0000001", "iri": "http://purl.obolibrary.org/obo/BFO_0000001",
+            "name": "material entity", "synonyms": ["material"],
+            "category": "biolink:OntologyClass", "prefix": "BFO",
+        }
+    ]
+    m = build_matcher(onto)
+    # strings containing NUL would break the NUL-separator trick by design;
+    # the engine never feeds NUL (parquet text), so strip it like the scan's
+    # upstream would
+    texts = [t.replace("\x00", " ") for t in texts]
+    batch = m.find_batch(texts)
+    for t, got in zip(texts, batch):
+        assert got == m.find(t)
