@@ -173,9 +173,17 @@ class Table:
         meta["batch_rows"] = n
         dirs = [data_dir]
         total = n
+        meta["schema"] = df.schema.simpleString()
         if mode == "append" and prev is not None:
             dirs = json.loads(prev.data_dir) + dirs
             total = prev.row_count + n
+            # schema evolution marker: the dir chain now holds >1 parquet
+            # schema, so readers must merge footers (see read())
+            if (
+                prev.meta.get("schema", meta["schema"]) != meta["schema"]
+                or prev.meta.get("merged_schema")
+            ):
+                meta["merged_schema"] = True
         snap = Snapshot(
             snapshot_id=snap_id,
             parent_id=prev.snapshot_id if prev else None,
@@ -216,7 +224,14 @@ class Table:
             if snap is None:
                 raise FileNotFoundError(f"no committed snapshot in {self.root}")
         dirs = json.loads(snap.data_dir)
-        return spark.read.parquet(*dirs)
+        reader = spark.read
+        if snap.meta.get("merged_schema"):
+            # schema evolution: this snapshot's manifest records that the dir
+            # chain holds more than one schema — pay the footer merge ONLY then
+            # (Iceberg gets this from its schema registry; plain parquet needs
+            # mergeSchema). Columns absent in older dirs read as null.
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*dirs)
 
     def compact(self, spark: SparkSession) -> Snapshot | None:
         """Rewrite the accumulated append dirs into ONE data dir and commit it

@@ -165,3 +165,34 @@ def test_legacy_table_without_latest_pointer_still_reads(spark, tmp_path):
     _os.remove(t._latest_path)
     assert t.read(spark).count() == 3
     assert t.latest().row_count == 3
+
+
+def test_schema_evolution_on_append(spark):
+    """Iceberg-style add-a-column: an append with a widened schema marks the
+    snapshot; reads merge footers only then, older rows null-fill the new
+    column, and compaction collapses back to a single schema."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kg_obo_spark.sources.tableio import Table
+
+    t = Table(tempfile.mkdtemp())
+    t.commit(spark.range(3).toDF("id"), mode="append")
+    assert "merged_schema" not in t.latest().meta
+    t.commit(
+        spark.range(3, 6).toDF("id").withColumn("lang", F.lit("en")),
+        mode="append",
+    )
+    assert t.latest().meta["merged_schema"] is True
+    df = t.read(spark)
+    assert set(df.columns) == {"id", "lang"}
+    rows = {r["id"]: r["lang"] for r in df.collect()}
+    assert rows[0] is None and rows[5] == "en"
+    # a same-schema append keeps the marker (chain still mixed)
+    t.commit(spark.range(6, 8).toDF("id").withColumn("lang", F.lit("fr")), mode="append")
+    assert t.latest().meta["merged_schema"] is True
+    # compaction rewrites one uniform schema; marker clears
+    t.compact(spark)
+    assert "merged_schema" not in t.latest().meta
+    assert t.read(spark).count() == 8
