@@ -110,7 +110,7 @@ def run_pipeline_bench(spark, transcripts_path: str) -> dict:
     # reduced frame.
     wall = float("inf")
     n_triples = 0
-    for _ in range(3):
+    for _ in range(4):  # best-of-4: one VM stall window can eat 2 passes
         t0 = time.time()
         pt = extract_turn_terms(tr, onto, cdict).persist()
         pt.count()

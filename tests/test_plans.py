@@ -141,3 +141,20 @@ def test_deterministic_centroids_no_global_sort(spark):
     plan = _plan(small)
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_fused_scan_is_map_only_and_prunes(spark, onto, tmp_path):
+    """The flagship fused scan (mapInArrow): no Exchange anywhere in its plan,
+    and the parquet read is pruned to (conv_id, turn_idx, text)."""
+    from kg_obo_spark.datagen import generate_transcripts
+    from kg_obo_spark.operators.extract import extract_turn_terms
+
+    path = str(tmp_path / "tr")
+    generate_transcripts(spark, n_convs=20, seed=3, ontology=onto).write.parquet(path)
+    tr = spark.read.parquet(path)
+    pt = extract_turn_terms(tr, onto, {})
+    plan = _plan(pt)
+    assert "Exchange" not in plan
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "text" in scan_line and "role" not in scan_line and "ts" not in scan_line
