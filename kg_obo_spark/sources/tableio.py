@@ -153,14 +153,13 @@ class Table:
         ``partition_by``: hive-style directory partitioning — readers filtering
         on those columns get partition pruning (the Iceberg partition-spec
         analog; see test_tableio.py::test_partitioned_commit_prunes)."""
-        meta = dict(meta or {})
-        prev = self.latest()
+        base_meta = dict(meta or {})
         if if_absent_tag is not None:
             if self.has_tag(if_absent_tag):
                 return None
-            meta["tag"] = if_absent_tag
+            base_meta["tag"] = if_absent_tag
         if partition_by:
-            meta["partition_by"] = partition_by
+            base_meta["partition_by"] = partition_by
         snap_id = uuid.uuid4().hex[:16]
         data_dir = os.path.join(self.root, f"data-{snap_id}")
         writer = df.write.mode("overwrite")
@@ -170,34 +169,72 @@ class Table:
         # row count from parquet footers — metadata-only, never a second scan
         # of the data just written (the old read().count() re-read everything)
         n = _parquet_row_count(data_dir)
-        meta["batch_rows"] = n
-        dirs = [data_dir]
-        total = n
-        meta["schema"] = df.schema.simpleString()
-        if mode == "append" and prev is not None:
-            dirs = json.loads(prev.data_dir) + dirs
-            total = prev.row_count + n
-            # schema evolution marker: the dir chain now holds >1 parquet
-            # schema, so readers must merge footers (see read())
-            if (
-                prev.meta.get("schema", meta["schema"]) != meta["schema"]
-                or prev.meta.get("merged_schema")
-            ):
-                meta["merged_schema"] = True
-        snap = Snapshot(
-            snapshot_id=snap_id,
-            parent_id=prev.snapshot_id if prev else None,
-            data_dir=json.dumps(dirs),
-            row_count=total,
-            meta=meta,
-            sequence=(prev.sequence + 1) if prev else 0,
-        )
-        self._write_commit(snap)
-        if if_absent_tag is not None:
-            os.makedirs(self._tags_dir, exist_ok=True)
-            with open(self._tag_path(if_absent_tag), "w") as f:
-                f.write(snap.snapshot_id)
-        return snap
+        schema_str = df.schema.simpleString()
+
+        # optimistic concurrency (Iceberg's commit conflict): the metadata
+        # build races other writers, so claim the next sequence number with an
+        # O_CREAT|O_EXCL marker; a loser re-reads latest and retries against
+        # the new parent. Only metadata is redone — the data dir write above
+        # happens once. On an object store this marker is a conditional put.
+        for _attempt in range(100):
+            prev = self.latest()
+            seq = (prev.sequence + 1) if prev else 0
+            marker = os.path.join(self._snap_dir, f".seq-{seq:012d}")
+            try:
+                fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+            except FileExistsError:
+                # another writer owns this sequence; wait for its LATEST to
+                # land, then rebase. A marker older than 60s with no manifest
+                # behind it is a crashed claimer — reap it (the claimer writes
+                # metadata immediately after claiming; its data was already
+                # durable before the claim).
+                import glob as _glob
+
+                try:
+                    stale = (time.time() - os.path.getmtime(marker)) > 60
+                except FileNotFoundError:
+                    continue
+                if stale and not _glob.glob(
+                    os.path.join(self._snap_dir, f"{seq:012d}-*.json")
+                ):
+                    try:
+                        os.remove(marker)
+                    except FileNotFoundError:
+                        pass
+                else:
+                    time.sleep(0.02)
+                continue
+            meta = dict(base_meta)
+            meta["batch_rows"] = n
+            meta["schema"] = schema_str
+            dirs = [data_dir]
+            total = n
+            if mode == "append" and prev is not None:
+                dirs = json.loads(prev.data_dir) + dirs
+                total = prev.row_count + n
+                # schema evolution marker: the dir chain now holds >1 parquet
+                # schema, so readers must merge footers (see read())
+                if (
+                    prev.meta.get("schema", schema_str) != schema_str
+                    or prev.meta.get("merged_schema")
+                ):
+                    meta["merged_schema"] = True
+            snap = Snapshot(
+                snapshot_id=snap_id,
+                parent_id=prev.snapshot_id if prev else None,
+                data_dir=json.dumps(dirs),
+                row_count=total,
+                meta=meta,
+                sequence=seq,
+            )
+            self._write_commit(snap)
+            if if_absent_tag is not None:
+                os.makedirs(self._tags_dir, exist_ok=True)
+                with open(self._tag_path(if_absent_tag), "w") as f:
+                    f.write(snap.snapshot_id)
+            return snap
+        raise RuntimeError(f"commit conflict not resolved after 100 retries: {self.root}")
 
     def _write_commit(self, snap: Snapshot) -> None:
         """History manifest first, then the atomic LATEST rename = the commit

@@ -196,3 +196,50 @@ def test_schema_evolution_on_append(spark):
     t.compact(spark)
     assert "merged_schema" not in t.latest().meta
     assert t.read(spark).count() == 8
+
+
+def test_concurrent_appends_lose_nothing(spark):
+    """Optimistic commit conflict: 8 threads appending concurrently must each
+    land a distinct sequence with a coherent parent chain — no lost updates
+    (the pre-r3 LATEST rename was last-writer-wins)."""
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from kg_obo_spark.sources.tableio import Table
+
+    root = tempfile.mkdtemp()
+
+    def one(i):
+        t = Table(root)  # separate Table objects = separate writers
+        return t.commit(spark.range(i * 10, i * 10 + 10).toDF("id"), mode="append")
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        snaps = list(ex.map(one, range(8)))
+    t = Table(root)
+    assert t.latest().row_count == 80
+    assert t.read(spark).count() == 80
+    seqs = sorted(s.sequence for s in snaps)
+    assert seqs == list(range(8))  # unique, gapless
+    # parent chain is coherent: each snapshot's parent is the previous winner
+    history = sorted(t.snapshots(), key=lambda s: s.sequence)
+    for prev_s, cur in zip(history, history[1:]):
+        assert cur.parent_id == prev_s.snapshot_id
+
+
+def test_stale_sequence_marker_is_reaped(spark, tmp_path, monkeypatch):
+    """A crashed claimer's marker (old, no manifest behind it) must not wedge
+    the table: the next committer reaps it and proceeds."""
+    import os as _os
+
+    from kg_obo_spark.sources import tableio as tio
+
+    t = tio.Table(str(tmp_path / "t"))
+    t.commit(spark.range(3).toDF("id"), mode="append")
+    # fake a crashed claimer for the NEXT sequence, backdated beyond 60s
+    marker = _os.path.join(t._snap_dir, ".seq-000000000001")
+    with open(marker, "w"):
+        pass
+    _os.utime(marker, (1, 1))
+    snap = t.commit(spark.range(3, 6).toDF("id"), mode="append")
+    assert snap.sequence == 1
+    assert t.read(spark).count() == 6
