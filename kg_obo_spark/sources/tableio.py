@@ -270,6 +270,43 @@ class Table:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*dirs)
 
+    def expire_snapshots(self, keep: int = 1) -> dict:
+        """Drop history: keep the ``keep`` newest snapshots' manifests, delete
+        older manifests, their sequence markers, and any data directory no
+        surviving snapshot references (Iceberg expire_snapshots +
+        remove_orphan_files). The live read path is untouched — it resolves
+        through LATEST; only time travel to expired snapshots stops working.
+        Returns {"manifests_removed": n, "data_dirs_removed": m}."""
+        snaps = self.snapshots()
+        if not snaps:
+            return {"manifests_removed": 0, "data_dirs_removed": 0}
+        survivors = snaps[-keep:] if keep > 0 else []
+        keep_files = {
+            f"{s.sequence:012d}-{s.snapshot_id}.json" for s in survivors
+        }
+        live_dirs: set[str] = set()
+        for s in survivors:
+            live_dirs.update(json.loads(s.data_dir))
+        removed_m = 0
+        for fn in os.listdir(self._snap_dir):
+            full = os.path.join(self._snap_dir, fn)
+            if fn.endswith(".json") and fn not in keep_files:
+                os.remove(full)
+                removed_m += 1
+            elif fn.startswith(".seq-"):
+                seq = int(fn[5:])
+                if not survivors or seq < survivors[0].sequence:
+                    os.remove(full)
+        removed_d = 0
+        import shutil as _shutil
+
+        for fn in os.listdir(self.root):
+            full = os.path.join(self.root, fn)
+            if fn.startswith("data-") and os.path.isdir(full) and full not in live_dirs:
+                _shutil.rmtree(full)
+                removed_d += 1
+        return {"manifests_removed": removed_m, "data_dirs_removed": removed_d}
+
     def compact(self, spark: SparkSession) -> Snapshot | None:
         """Rewrite the accumulated append dirs into ONE data dir and commit it
         as a full snapshot — bounds both the manifest size and the reader's

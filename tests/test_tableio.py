@@ -243,3 +243,31 @@ def test_stale_sequence_marker_is_reaped(spark, tmp_path, monkeypatch):
     snap = t.commit(spark.range(3, 6).toDF("id"), mode="append")
     assert snap.sequence == 1
     assert t.read(spark).count() == 6
+
+
+def test_expire_snapshots_reclaims_history_and_orphans(spark, tmp_path):
+    """compact + expire: old manifests and unreferenced data dirs are
+    reclaimed, the live read survives, time travel to expired ids fails."""
+    import os as _os
+
+    from kg_obo_spark.sources.tableio import Table
+
+    t = Table(str(tmp_path / "t"))
+    snaps = [t.commit(spark.range(i * 5, i * 5 + 5).toDF("id"), mode="append") for i in range(4)]
+    t.compact(spark)
+    n_data_before = sum(1 for f in _os.listdir(t.root) if f.startswith("data-"))
+    assert n_data_before == 5  # 4 appends + 1 compacted
+    stats = t.expire_snapshots(keep=1)
+    assert stats["manifests_removed"] == 4
+    assert stats["data_dirs_removed"] == 4
+    assert sum(1 for f in _os.listdir(t.root) if f.startswith("data-")) == 1
+    assert t.read(spark).count() == 20
+    assert t.latest().row_count == 20
+    # expired snapshot is gone from history; time travel raises
+    import pytest as _pytest
+
+    with _pytest.raises(StopIteration):
+        t.read(spark, snapshot_id=snaps[0].snapshot_id)
+    # the table remains writable with a coherent sequence after expiry
+    t.commit(spark.range(20, 25).toDF("id"), mode="append")
+    assert t.read(spark).count() == 25
