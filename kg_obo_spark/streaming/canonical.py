@@ -28,7 +28,6 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
-from pyspark.sql.window import Window
 
 from kg_obo_spark.operators.canonicalize import incremental_components
 from kg_obo_spark.sources.tableio import Table
@@ -43,18 +42,17 @@ def _table(out_root: str) -> Table:
 def read_assignment(spark: SparkSession, out_root: str) -> DataFrame:
     """The current (id, component) registry: latest-epoch-wins per id over the
     delta commits. Between compactions the union holds at most
-    ``compact_every`` delta dirs plus one full snapshot, so the resolve window
-    shuffles a bounded number of rows per id (usually exactly one)."""
+    ``compact_every`` delta dirs plus one full snapshot, so each id resolves
+    over a handful of rows at most."""
     table = _table(out_root)
     if not table.exists():
         return spark.createDataFrame([], ASSIGNMENT_SCHEMA).select("id", "component")
     df = table.read(spark)
-    w = Window.partitionBy("id").orderBy(F.col("_epoch").desc())
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("id", "component")
-    )
+    # latest-epoch-wins as an aggregate, not a window: max_by partial-
+    # aggregates map-side, so the resolve shuffle carries one row per id per
+    # task instead of every delta row sorted (an id appears at most once per
+    # epoch — exceptAll emits only changed rows)
+    return df.groupBy("id").agg(F.max_by("component", "_epoch").alias("component"))
 
 
 def start_canonicalization_stream(
