@@ -940,6 +940,19 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantile sketch: per-event_type p50/p95 of value
+    via fixed-bin histograms (deterministic left-edge rule, mirrored exactly
+    in the SQL oracle). Local-parity-only (outside the driver's 50)."""
+    from kg_obo_spark.functions.sketches import histogram_quantiles, histogram_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = histogram_sketch(ev, "value", 0.0, 200.0, 40, ["event_type"])
+    return histogram_quantiles(sk, [0.5, 0.95], 0.0, 200.0, 40, ["event_type"]).select(
+        "event_type", "q", "bin", F.round("left_edge", 4).alias("left_edge")
+    )
+
+
 def q_publish_root_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Root index w/ dead-link probe (upload.py:283-384 update_root): sources
     ending in 3/7 have no per-dir index.html -> excluded from links, reported
@@ -1010,6 +1023,8 @@ _ROTATED_OUT = (
     # ann_cosine_topk + emb_near_dup driver-checked)
     "cube_revenue",  # r3: rotated to admit dedup_groups (rollup family keeps
     # pivot_status driver-checked)
+    "sketch_value_quantiles",  # local-parity-only by design: the sketch
+    # family already holds two driver slots (HLL, KMV)
 )
 
 
@@ -1084,6 +1099,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "publish_index": q_publish_index,
         "sketch_distinct_users": q_sketch_distinct_users,
         "kmv_set_ops": q_kmv_set_ops,
+        "sketch_value_quantiles": q_sketch_value_quantiles,
         "publish_root_index": q_publish_root_index,
     }
 
@@ -1668,6 +1684,25 @@ def all_oracle_sql() -> dict[str, str]:
                  f -> '<li><a href="' || f || '">' || f || '</a></li>'), '') ||
                '</ul></body></html>' AS index_html
         FROM grouped
+        """,
+        "sketch_value_quantiles": """
+        WITH binned AS (
+          SELECT event_type,
+                 CAST(floor(least(greatest(CAST(value AS DOUBLE), 0.0), 199.999999995) / 5.0) AS INT) AS bin,
+                 count(*) AS cnt
+          FROM events GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT event_type, bin,
+                 sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                 sum(cnt) OVER (PARTITION BY event_type) AS total
+          FROM binned
+        ),
+        qs AS (SELECT unnest([0.5, 0.95]) AS q)
+        SELECT event_type, q, min(bin) AS bin,
+               round(min(bin) * 5.0, 4) AS left_edge
+        FROM cum, qs WHERE cum >= q * total
+        GROUP BY event_type, q
         """,
         "kmv_set_ops": """
         WITH c AS (

@@ -154,3 +154,91 @@ def kmv_intersect_estimate(a: Column, b: Column, k: int = KMV_K) -> Column:
         F.filter(F.array_intersect(a, b), lambda x: x.cast("double") <= cut)
     )
     return matches.cast("double") / theta
+
+
+# ----------------------------------------------------- histogram quantiles
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group..., sketch array<long>): fixed-bin histogram of ``value_col``
+    over [lo, hi) — the mergeable quantile sketch completing the family
+    (HLL = distinct, KMV = set ops, histogram = quantiles). Values are
+    clamped into range; merge = element-wise vector add, so per-snapshot
+    sketch rows answer cross-snapshot quantiles without a rescan. Quantile
+    error is bounded by the bin width. One hash shuffle with map-side
+    partial counts; the dense array assembles from a bin->count map."""
+    w = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    clamped = F.least(F.greatest(v, F.lit(float(lo))), F.lit(hi - w / 1e9))
+    b = F.floor((clamped - lo) / w).cast("int").alias("_b")
+    keys = list(group_cols or [])
+    per_bin = df.groupBy(*keys, b).agg(F.count("*").alias("_cnt"))
+    m = F.map_from_entries(F.collect_list(F.struct("_b", "_cnt")))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bins - 1)),
+        lambda i: F.coalesce(F.element_at(m, i.cast("int")), F.lit(0).cast("long")),
+    ).alias("sketch")
+    if keys:
+        return per_bin.groupBy(*keys).agg(dense)
+    return per_bin.groupBy().agg(dense)
+
+
+def merge_histograms(
+    sketches: DataFrame, n_bins: int, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Element-wise sum of histogram sketch rows — associative/commutative."""
+    zero = F.array_repeat(F.lit(0).cast("long"), n_bins)
+    merged = F.aggregate(
+        F.collect_list("sketch"),
+        zero,
+        lambda acc, x: F.zip_with(acc, x, lambda a, b2: a + b2),
+    ).alias("sketch")
+    if group_cols:
+        return sketches.groupBy(*group_cols).agg(merged)
+    return sketches.agg(merged)
+
+
+def histogram_quantiles(
+    sketches: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group..., q, bin, left_edge): for each requested quantile, the FIRST
+    bin whose cumulative count reaches q * total (deterministic left-edge
+    rule — exactly mirrorable in SQL, no interpolation ties). The per-group
+    work is over n_bins rows, not the data."""
+    from pyspark.sql.window import Window
+
+    keys = list(group_cols or [])
+    w = (hi - lo) / n_bins
+    bins = sketches.select(*keys, F.posexplode("sketch").alias("bin", "cnt"))
+    win = Window.partitionBy(*keys).orderBy("bin") if keys else Window.orderBy("bin")
+    cum = bins.withColumn(
+        "cum", F.sum("cnt").over(win.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("total", F.sum("cnt").over(win.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+    out = None
+    for q in qs:
+        hit = (
+            cum.filter(F.col("cum") >= F.lit(q) * F.col("total"))
+            .groupBy(*keys)
+            .agg(F.min("bin").alias("bin"))
+            .select(
+                *keys,
+                F.lit(q).alias("q"),
+                "bin",
+                (F.lit(float(lo)) + F.col("bin") * F.lit(w)).alias("left_edge"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

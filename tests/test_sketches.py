@@ -99,3 +99,50 @@ def test_kmv_estimation_mode_accuracy(spark):
     df = spark.range(20000).toDF("uid").repartition(8)
     est = kmv_sketch(df, "uid").select(kmv_estimate("sketch").alias("e")).first()["e"]
     assert abs(est - 20000) / 20000 < 0.10
+
+
+def test_histogram_sketch_merge_and_quantiles(spark):
+    """Shard-built histograms merge to the direct histogram; quantile bins
+    match a brute-force rank computation under the same left-edge rule."""
+    from pyspark.sql import functions as F
+
+    from kg_obo_spark.functions.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+        merge_histograms,
+    )
+
+    N, BINS, LO, HI = 4000, 32, 0.0, 100.0
+    df = spark.range(N).select(
+        (F.pmod(F.col("id") * 37, F.lit(100)) + 0.5).alias("v"),
+        F.pmod("id", F.lit(3)).alias("g"),
+    ).repartition(8)
+    direct = {r["g"]: list(r["sketch"]) for r in
+              histogram_sketch(df, "v", LO, HI, BINS, ["g"]).collect()}
+    sharded = histogram_sketch(
+        df.withColumn("shard", F.pmod(F.col("v").cast("long"), F.lit(4))),
+        "v", LO, HI, BINS, ["g", "shard"])
+    merged = {r["g"]: list(r["sketch"]) for r in
+              merge_histograms(sharded, BINS, ["g"]).collect()}
+    assert direct == merged
+    assert all(sum(s) == N // 3 + (1 if g < N % 3 else 0) for g, s in direct.items())
+
+    sk = histogram_sketch(df, "v", LO, HI, BINS, ["g"])
+    got = {(r["g"], r["q"]): r["bin"] for r in
+           histogram_quantiles(sk, [0.5, 0.95], LO, HI, BINS, ["g"]).collect()}
+    # brute force with the identical rule
+    rows = df.collect()
+    import math
+    for g in (0, 1, 2):
+        vals = sorted(min(max(r["v"], LO), HI - 1e-7) for r in rows if r["g"] == g)
+        binw = (HI - LO) / BINS
+        counts = [0] * BINS
+        for v in vals:
+            counts[int((v - LO) // binw)] += 1
+        for q in (0.5, 0.95):
+            cum, target = 0, q * len(vals)
+            for b, c in enumerate(counts):
+                cum += c
+                if cum >= target:
+                    assert got[(g, q)] == b
+                    break
