@@ -176,7 +176,10 @@ class Table:
         # O_CREAT|O_EXCL marker; a loser re-reads latest and retries against
         # the new parent. Only metadata is redone — the data dir write above
         # happens once. On an object store this marker is a conditional put.
-        for _attempt in range(100):
+        # time-based deadline, not a retry count: it must outlive the 60s
+        # stale-marker window so a crashed claimer delays (not fails) others
+        deadline = time.time() + 180
+        while time.time() < deadline:
             prev = self.latest()
             seq = (prev.sequence + 1) if prev else 0
             marker = os.path.join(self._snap_dir, f".seq-{seq:012d}")
@@ -234,7 +237,7 @@ class Table:
                 with open(self._tag_path(if_absent_tag), "w") as f:
                     f.write(snap.snapshot_id)
             return snap
-        raise RuntimeError(f"commit conflict not resolved after 100 retries: {self.root}")
+        raise RuntimeError(f"commit conflict not resolved within deadline: {self.root}")
 
     def _write_commit(self, snap: Snapshot) -> None:
         """History manifest first, then the atomic LATEST rename = the commit

@@ -52,13 +52,17 @@ def start_kg_pipeline_stream(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         tag = f"epoch-{epoch_id}"
-        if pairs_t.has_tag(tag):  # replay — both commits are epoch-tagged
+        # the guard checks the LAST-committed table: if the pairs commit
+        # landed, the mentioned commit (done first) must have landed too, so
+        # a crash between the two replays cleanly (mentioned's own
+        # if_absent_tag dedups its already-landed half)
+        if pairs_t.has_tag(tag):
             return
         pt = extract_turn_terms(batch_df, onto, canon).localCheckpoint()
         pairs = pairs_from_per_turn(pt).select("a", "b").distinct()
         mentioned = pt.select(F.explode("terms").alias("id")).distinct()
-        pairs_t.commit(pairs, mode="append", if_absent_tag=tag)
         mentioned_t.commit(mentioned, mode="append", if_absent_tag=tag)
+        pairs_t.commit(pairs, mode="append", if_absent_tag=tag)
 
     return (
         transcripts_stream.writeStream.foreachBatch(sink)
