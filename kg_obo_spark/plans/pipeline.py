@@ -135,6 +135,11 @@ def run_pipeline(
             # the Arrow extraction stage). Repair ladder: a candidate-budget
             # blow-up fails the commit job before the snapshot registers
             # (orphan data dir only), so retrying at a reduced level is safe.
+            # Unit-batch commits are TAGGED: a crash between a commit and the
+            # unit-done marker makes the resumed run re-enter this batch, and
+            # the tag turns the duplicate commit into a lookup (extraction is
+            # deterministic, so the landed snapshot IS this batch's result).
+            unit_tag = "units-" + "-".join(str(u) for u in units)
             snap_m = None
             for level in range(ladder_top + 1):
                 mentions = extract_mentions(
@@ -145,7 +150,10 @@ def run_pipeline(
                 )
                 cm = canonical_mentions(mentions, cmap)
                 try:
-                    snap_m = mentions_t.commit(cm, mode="append", meta={"units": units, "level": level})
+                    snap_m = mentions_t.commit(
+                        cm, mode="append", if_absent_tag=unit_tag,
+                        meta={"units": units, "level": level},
+                    )
                 except Exception as ex:
                     # match the unique sentinel ExtractionError embeds in its
                     # message — robust to Py4J/traceback re-framing and immune
@@ -162,9 +170,19 @@ def run_pipeline(
                     )
                     continue
                 break
+            if snap_m is None:  # crash-window replay: this batch already landed
+                snap_m = next(
+                    s for s in mentions_t.snapshots() if s.meta.get("tag") == unit_tag
+                )
             batch_mentions = spark.read.parquet(json.loads(snap_m.data_dir)[-1])
             co = build_edges(batch_mentions, onto, include_isa=False)
-            snap_e = co_edges_t.commit(co, mode="append", meta={"units": units})
+            snap_e = co_edges_t.commit(
+                co, mode="append", if_absent_tag=unit_tag, meta={"units": units}
+            )
+            if snap_e is None:
+                snap_e = next(
+                    s for s in co_edges_t.snapshots() if s.meta.get("tag") == unit_tag
+                )
             store.log_stage(
                 spark,
                 run_id,

@@ -56,14 +56,18 @@ def start_mention_ingest(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         tag = f"epoch-{epoch_id}"
+        # guard on the LAST-committed table: if mentions carry the tag, the
+        # edges commit (done first) landed too; a crash between the two
+        # replays cleanly — edges' own tag dedups its already-landed half
+        if mentions_t.has_tag(tag):
+            return  # replayed epoch -> already committed, exactly-once
         m = extract_mentions(batch_df, onto)
         if canon_map is not None:
             m = canonical_mentions(m, canon_map)
         m = m.localCheckpoint()
-        if mentions_t.commit(m, mode="append", if_absent_tag=tag) is None:
-            return  # replayed epoch -> already committed, exactly-once
         pairs = co_mention_pairs(m).select("a", "b").distinct()
         edges_t.commit(pairs, mode="append", if_absent_tag=tag)
+        mentions_t.commit(m, mode="append", if_absent_tag=tag)
 
     return (
         stream.writeStream.foreachBatch(sink)

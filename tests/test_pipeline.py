@@ -164,3 +164,42 @@ def test_ladder_trigger_survives_message_reframing(spark, onto, tmp_path):
         "commit failed while writing ExtractionError log summary"
     )
     assert EXTRACTION_BUDGET_MARKER not in str(impostor)
+
+
+def test_crash_before_unit_marker_does_not_duplicate_mentions(spark, onto, tmp_path):
+    """Crash in the window AFTER the mentions/edges commits but BEFORE the
+    unit-done marker: the resumed run re-enters the batch, and the unit tag
+    turns the duplicate commit into a lookup — the mentions table holds each
+    mention exactly once and triples match an uninterrupted run."""
+    from kg_obo_spark.datagen import generate_transcripts
+    from kg_obo_spark.plans.tracking import TrackingStore
+    from kg_obo_spark.sources.tableio import Table
+
+    tr = generate_transcripts(spark, n_convs=60, seed=11, ontology=onto).cache()
+    clean = run_pipeline(spark, tr, onto, str(tmp_path / "clean"), n_buckets=2)
+    clean_triples = {(r["subject"], r["predicate"], r["object"])
+                     for r in clean.edges.collect()}
+    clean_mentions = clean.mentions.count()
+
+    orig = TrackingStore.mark_units_done
+    calls = {"n": 0}
+
+    def crash_once(self, spark_, run_id, units):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash before unit marker")
+        return orig(self, spark_, run_id, units)
+
+    TrackingStore.mark_units_done = crash_once
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            run_pipeline(spark, tr, onto, str(tmp_path / "kg"), n_buckets=2,
+                         unit_batch_size=1)
+        res = run_pipeline(spark, tr, onto, str(tmp_path / "kg"), n_buckets=2,
+                          unit_batch_size=1)
+    finally:
+        TrackingStore.mark_units_done = orig
+    got = {(r["subject"], r["predicate"], r["object"]) for r in res.edges.collect()}
+    assert got == clean_triples
+    # the crashed batch's mentions were committed once, not twice
+    assert Table(str(tmp_path / "kg" / "mentions")).read(spark).count() == clean_mentions
