@@ -49,6 +49,11 @@ class LockHeldError(RuntimeError):
     pass
 
 
+class CommitConflictError(RuntimeError):
+    """The table advanced past the snapshot a commit was computed from
+    (Iceberg's validation failure on rewrite conflicts). Recompute and retry."""
+
+
 def _parquet_row_count(data_dir: str) -> int:
     """Sum row counts from parquet footers under ``data_dir`` (recursing into
     hive partition dirs) — the Iceberg manifest-stats analog: row counts come
@@ -143,6 +148,7 @@ class Table:
         mode: str = "overwrite",
         if_absent_tag: str | None = None,
         partition_by: list[str] | None = None,
+        expected_parent_id: str | None = None,
     ) -> Snapshot | None:
         """Write ``df`` as a new committed snapshot.
 
@@ -181,6 +187,15 @@ class Table:
         deadline = time.time() + 180
         while time.time() < deadline:
             prev = self.latest()
+            if expected_parent_id is not None and (
+                prev.snapshot_id if prev else None
+            ) != expected_parent_id:
+                # the data this commit was computed from is no longer the
+                # table head (e.g. an append landed during a compaction
+                # rewrite) — overwriting now would silently drop it
+                raise CommitConflictError(
+                    f"{self.root}: head moved past {expected_parent_id}"
+                )
             seq = (prev.sequence + 1) if prev else 0
             marker = os.path.join(self._snap_dir, f".seq-{seq:012d}")
             try:
@@ -188,7 +203,7 @@ class Table:
                 os.close(fd)
             except FileExistsError:
                 # another writer owns this sequence; wait for its LATEST to
-                # land, then rebase. A marker older than 60s with no manifest
+                # land, then rebase (or fail fast on basis conflicts). A marker older than 60s with no manifest
                 # behind it is a crashed claimer — reap it (the claimer writes
                 # metadata immediately after claiming; its data was already
                 # durable before the claim).
@@ -319,10 +334,14 @@ class Table:
         if prev is None or len(json.loads(prev.data_dir)) <= 1:
             return None
         df = self.read(spark)
+        # expected_parent_id: if an append lands while the rewrite runs, the
+        # overwrite would silently drop it — fail with CommitConflictError
+        # instead (Iceberg rewrite_data_files validation); caller retries
         snap = self.commit(
             df,
             mode="overwrite",
             meta={"compacted_dirs": len(json.loads(prev.data_dir))},
+            expected_parent_id=prev.snapshot_id,
         )
         return snap
 

@@ -271,3 +271,32 @@ def test_expire_snapshots_reclaims_history_and_orphans(spark, tmp_path):
     # the table remains writable with a coherent sequence after expiry
     t.commit(spark.range(20, 25).toDF("id"), mode="append")
     assert t.read(spark).count() == 25
+
+
+def test_compact_conflicts_with_interleaved_append(spark, tmp_path):
+    """An append landing between a compaction's read and its commit must fail
+    the compaction (CommitConflictError) instead of silently dropping the
+    appended rows; a retried compaction then succeeds over the new head."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from kg_obo_spark.sources.tableio import CommitConflictError, Table
+
+    t = Table(str(tmp_path / "t"))
+    for i in range(3):
+        t.commit(spark.range(i * 10, i * 10 + 10).toDF("id"), mode="append")
+    basis = t.latest()
+    df = t.read(spark)
+    # interleaved append after the rewrite read the basis
+    t.commit(spark.range(30, 40).toDF("id"), mode="append")
+    with _pytest.raises(CommitConflictError):
+        t.commit(
+            df, mode="overwrite",
+            meta={"compacted_dirs": 3},
+            expected_parent_id=basis.snapshot_id,
+        )
+    assert t.read(spark).count() == 40  # nothing lost
+    t.compact(spark)  # retry over the new head succeeds
+    assert len(_json.loads(t.latest().data_dir)) == 1
+    assert t.read(spark).count() == 40
