@@ -1006,23 +1006,29 @@ def q_publish_dead_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rotation history: r3 rotated out 10 long-stable shapes (q3/q4/q5/q7,
 # p3/a10/a12/a14, text_token_count, json_extract — all green in r1+r2) to make
 # room for the 8 entries the r2 cap silently skipped plus the new q2/q9.
+# Rotation SCHEDULE (VERDICT r3 next #3): every round, swap the parked set so
+# each oracled query gets a driver CORRECTNESS row at least every other round.
+# r4 brings the full r3-parked set back in and parks 12 r3-green stable shapes
+# instead; r5 swaps back (modulo new queries). sketch_value_quantiles stays
+# local-parity-only by design (the sketch family holds two driver slots).
 DRIVER_QUERY_CAP = 50
 
 _ROTATED_OUT = (
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_revenue_by_nation",
-    "q7_volume_shipping",
-    "p3_version_validation",
-    "a10_distinct_namespaces",
-    "a12_dedup_rows",
-    "a14_format_fanout",
-    "text_token_count",
-    "json_extract",
-    "emb_norm_stats",  # r3: rotated to admit kmv_set_ops (emb family keeps
-    # ann_cosine_topk + emb_near_dup driver-checked)
-    "cube_revenue",  # r3: rotated to admit dedup_groups (rollup family keeps
-    # pivot_status driver-checked)
+    # --- r4 parked set: every entry below was green rows+schema+hash in
+    # CORRECTNESS_r03 (most in r1+r2 as well); still swept by the local parity
+    # harness + tests/test_entry_contract.py::test_rotated_parity.
+    "q1_pricing_summary",
+    "q10_returned_items",
+    "revenue_by_segment",
+    "p1_filter_isin",
+    "p2_illegal_chars",
+    "p4_category_rewrite",
+    "j1_broadcast_remap",
+    "j4_version_selfjoin",
+    "a7_group_collect",
+    "s5_extract_all_explode",
+    "window_latest",
+    "text_lang_id",
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )

@@ -73,6 +73,48 @@ def test_streaming_epoch_writes_are_delta_sized(spark, tmp_path):
     assert snaps[-1].meta["batch_rows"] == 4
 
 
+def test_reroute_chain_ignores_stale_rows(spark, tmp_path):
+    """After a component label is superseded, its stale registry rows must
+    never be matched by a later re-route (the correctness premise of the
+    shuffle-free delta computation): chain b->a then a->A and check the
+    per-epoch delta sizes stay minimal and the resolved registry equals a
+    from-scratch CC."""
+    batches = [
+        [("b", "c")],            # epoch 0: b,c -> b
+        [("a", "b")],            # epoch 1: reroute b -> a (b,c rows; + a)
+        [("b", "d")],            # epoch 2: d joins via b -> only d changes
+        [("A", "c")],            # epoch 3: reroute a -> A (a,b,c,d; + A)
+    ]
+    src = str(tmp_path / "edges")
+    for b in batches:
+        spark.createDataFrame(b, "u string, v string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("u string, v string")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = start_canonicalization_stream(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    t = Table(str(tmp_path / "out" / "canonical_assignment"))
+    snaps = sorted(t.snapshots(), key=lambda s: s.sequence)
+    # epoch 1 re-routes exactly {b,c} and adds a (3 rows, NOT the stale b-rows
+    # again); epoch 2 adds only d; epoch 3 re-routes {a,b,c,d} + adds A (5)
+    assert [s.meta["batch_rows"] for s in snaps] == [2, 3, 1, 5]
+    got = {
+        (r["id"], r["component"])
+        for r in read_assignment(spark, str(tmp_path / "out")).collect()
+    }
+    all_edges = [e for b in batches for e in b]
+    full = connected_components(spark.createDataFrame(all_edges, "u string, v string"))
+    assert got == {(r["id"], r["component"]) for r in full.collect()}
+
+
 def test_streaming_compaction_preserves_assignment(spark, tmp_path):
     """compact_every=2: the chain compacts mid-stream; the compacted read
     equals a from-scratch recompute and the manifest stays bounded."""
