@@ -877,7 +877,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return decode_stub(media_from_documents(d))
+    # use_codecs=False pins the deterministic hash-derived features so the
+    # DuckDB oracle (which mirrors the hex arithmetic in SQL) matches in EVERY
+    # environment, including ones where the capability probe finds Pillow
+    return decode_stub(media_from_documents(d), use_codecs=False)
 
 
 def q_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -144,14 +144,28 @@ def kmv_union_estimate(a: Column, b: Column, k: int = KMV_K) -> Column:
     return kmv_estimate(u, k)
 
 
+def _cut_long(sketch: Column, k: int) -> Column:
+    """The k-th smallest hash as an exact LONG threshold, or null in exact
+    mode (no threshold — every retained hash is in the sample)."""
+    return F.when(F.size(sketch) < k, F.lit(None).cast("long")).otherwise(
+        F.element_at(sketch, k)
+    )
+
+
 def kmv_intersect_estimate(a: Column, b: Column, k: int = KMV_K) -> Column:
     """Intersection-cardinality estimate — the theta-sketch rule: count hash
-    values present in BOTH sketches below the smaller theta, scaled by it.
-    Exact when both sketches are in exact mode (theta = 1)."""
+    values present in BOTH sketches STRICTLY below the smaller theta, scaled
+    by it. Exact when both sketches are in exact mode (theta = 1).
+
+    The sample cut compares long hash values directly against the k-th
+    smallest hash (ADVICE r3): the standard theta-sketch sample is strictly
+    below theta (the k-th hash itself is the boundary, not a member), and a
+    double round-trip of the threshold loses ~1024 ulp at 2^63. ``F.least``
+    skips nulls, so a null (exact-mode) cut defers to the other sketch's."""
     theta = F.least(_theta(a, k), _theta(b, k))
-    cut = theta * _U64 - _OFF - 1.0
+    cut = F.least(_cut_long(a, k), _cut_long(b, k))
     matches = F.size(
-        F.filter(F.array_intersect(a, b), lambda x: x.cast("double") <= cut)
+        F.filter(F.array_intersect(a, b), lambda x: cut.isNull() | (x < cut))
     )
     return matches.cast("double") / theta
 

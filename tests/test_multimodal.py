@@ -74,3 +74,69 @@ def test_resize_stub_plumbing(spark):
     assert {bytes(r["payload"]) for r in out} == {bytes(r["payload"]) for r in out2}
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         resize_stub(media, strict=True).collect()
+
+
+def _tiny_png(w=3, h=2):
+    """A valid minimal PNG built with stdlib only (no codec needed to WRITE;
+    only a real codec can decode it) — RGB, one byte filter per row."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        c = typ + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x10\x20\x30" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_capability_probe_both_environments(spark):
+    """VERDICT r3 next #6: with Pillow present the probe decodes real image
+    dimensions; without it (this container) the deterministic stub features
+    come back — same schema, same plumbing, passing in BOTH environments."""
+    import hashlib
+
+    from kg_obo_spark.operators.multimodal import (
+        _stub_features,
+        decode_stub,
+        probe_codecs,
+    )
+
+    png = _tiny_png(3, 2)
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(png), {})],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    row = decode_stub(media).first()
+    if probe_codecs()["pil"]:
+        assert (row["width"], row["height"], row["duration_ms"]) == (3, 2, 0)
+    else:
+        want = _stub_features(hashlib.sha256(png).hexdigest())
+        assert (row["width"], row["height"], row["duration_ms"]) == want
+    # pinned-stub path is environment-independent (the driver-oracle contract)
+    pinned = decode_stub(media, use_codecs=False).first()
+    want = _stub_features(hashlib.sha256(png).hexdigest())
+    assert (pinned["width"], pinned["height"], pinned["duration_ms"]) == want
+    assert row["sha256"] == hashlib.sha256(png).hexdigest()
+
+
+def test_decode_use_codecs_true_demands_real_codec(spark):
+    import pytest
+
+    from kg_obo_spark.operators.multimodal import decode_stub, probe_codecs
+
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(b"xx"), {})],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    if probe_codecs()["pil"]:
+        assert decode_stub(media, use_codecs=True).count() == 1
+    else:
+        with pytest.raises(Exception):  # NotImplementedError crosses Py4J
+            decode_stub(media, use_codecs=True).collect()

@@ -203,3 +203,56 @@ def test_crash_before_unit_marker_does_not_duplicate_mentions(spark, onto, tmp_p
     assert got == clean_triples
     # the crashed batch's mentions were committed once, not twice
     assert Table(str(tmp_path / "kg" / "mentions")).read(spark).count() == clean_mentions
+
+
+def test_resume_with_different_batch_size_does_not_duplicate(spark, onto, tmp_path):
+    """ADVICE r3: unit_tag encodes the batch composition, so a resume that
+    passes a DIFFERENT unit_batch_size after a crash-window crash must still
+    replay under the original batching — the recorded run config wins — and
+    the replay lookup is the O(1) marker path, never a history scan."""
+    from kg_obo_spark.datagen import generate_transcripts
+    from kg_obo_spark.plans.tracking import TrackingStore
+    from kg_obo_spark.sources.tableio import Table
+
+    tr = generate_transcripts(spark, n_convs=60, seed=13, ontology=onto).cache()
+    clean = run_pipeline(spark, tr, onto, str(tmp_path / "clean"), n_buckets=4)
+    clean_triples = {(r["subject"], r["predicate"], r["object"])
+                     for r in clean.edges.collect()}
+    clean_mentions = clean.mentions.count()
+
+    orig = TrackingStore.mark_units_done
+    calls = {"n": 0}
+
+    def crash_once(self, spark_, run_id, units):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash before unit marker")
+        return orig(self, spark_, run_id, units)
+
+    TrackingStore.mark_units_done = crash_once
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            run_pipeline(spark, tr, onto, str(tmp_path / "kg"), n_buckets=4,
+                         unit_batch_size=2)
+        # resume asks for batch size 1; the persisted config (2) must win, and
+        # the crash-window replay must never call snapshots()
+        orig_snaps = Table.snapshots
+
+        def boom(self):
+            import os as _os
+
+            if _os.path.exists(self._latest_path):
+                raise AssertionError("crash replay must not list history")
+            return orig_snaps(self)  # latest()'s one-time new/legacy fallback
+
+        Table.snapshots = boom
+        try:
+            res = run_pipeline(spark, tr, onto, str(tmp_path / "kg"), n_buckets=4,
+                               unit_batch_size=1)
+        finally:
+            Table.snapshots = orig_snaps
+    finally:
+        TrackingStore.mark_units_done = orig
+    got = {(r["subject"], r["predicate"], r["object"]) for r in res.edges.collect()}
+    assert got == clean_triples
+    assert Table(str(tmp_path / "kg" / "mentions")).read(spark).count() == clean_mentions

@@ -146,3 +146,23 @@ def test_histogram_sketch_merge_and_quantiles(spark):
                 if cum >= target:
                     assert got[(g, q)] == b
                     break
+
+
+def test_kmv_intersect_estimation_mode_accuracy(spark):
+    """ADVICE r3: the intersect cut compares long hashes strictly against the
+    k-th smallest (no double round-trip). Estimation mode (k << distincts)
+    must land near the true overlap."""
+    from pyspark.sql import functions as F
+
+    from kg_obo_spark.functions.sketches import kmv_intersect_estimate, kmv_sketch
+
+    a = spark.range(0, 6000).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    b = spark.range(4000, 10000).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    ka = kmv_sketch(a, "v", k=256).withColumnRenamed("sketch", "sa")
+    kb = kmv_sketch(b, "v", k=256).withColumnRenamed("sketch", "sb")
+    est = (
+        ka.crossJoin(kb)
+        .select(kmv_intersect_estimate(F.col("sa"), F.col("sb"), k=256).alias("i"))
+        .first()["i"]
+    )
+    assert abs(est - 2000) / 2000 < 0.35  # true overlap = 2000
