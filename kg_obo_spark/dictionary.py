@@ -7,14 +7,23 @@ to executors once (Spark broadcast / task closure) and compiled into a matcher
 **once per Python worker process** via a module-level cache — the per-batch cost
 inside the Arrow UDF is zero.
 
-Matching strategy: all dictionary surfaces are compiled into ONE regex whose
-alternation is trie-compressed (shared prefixes collapse into nested groups), so
-the scan is near-linear in text length instead of O(alternatives) per position.
-Separate patterns recognize canonical CURIEs, malformed CURIEs
-(lowercased prefix / ``OBO:``-prefixed / ``.OWL#`` -embedded) and raw OBO IRIs —
-the exact shapes repaired by the reference's normalize_id logic
-(/root/reference/kg_obo/robot_utils.py:286-311) and the capitalized-prefix dual
-keys (/root/reference/kg_obo/transform.py:615-621).
+Matching strategy, two engines with identical semantics (pinned by the
+batched-vs-per-row property suite):
+
+- **Vectorized batch scanner** (``fastscan.VectorScanner``, the r4 matcher
+  engine): numpy byte-class anchors for the explicit-id shapes + rolling-hash
+  token matching for dictionary surfaces, with byte-exact verification of
+  every accept and internal cache-sized chunking. Used by ``find_batch`` /
+  ``find_batch_columnar`` whenever the batch is ASCII and the surface set
+  fits the token model; measured 1.5-1.9x over the regex engine end-to-end.
+- **Regex engine** (reference semantics + per-row ``find``): all dictionary
+  surfaces compiled into ONE trie-compressed alternation (near-linear scan),
+  plus patterns for canonical CURIEs, malformed CURIEs (lowercased prefix /
+  ``OBO:``-prefixed / ``.OWL#``-embedded) and raw OBO IRIs — the exact shapes
+  repaired by the reference's normalize_id logic
+  (/root/reference/kg_obo/robot_utils.py:286-311) and the capitalized-prefix
+  dual keys (/root/reference/kg_obo/transform.py:615-621). Fallback for
+  non-ASCII batches and non-token-model dictionaries.
 """
 
 from __future__ import annotations
@@ -63,6 +72,12 @@ def _trie_pattern(words: list[str]) -> str:
 
 # ---------------------------------------------------------------- matcher
 
+
+import os as _os
+
+#: A/B harness + safety hatch: set KG_OBO_SPARK_FASTSCAN=0 before the session
+#: starts to force the regex batch path everywhere.
+_FASTSCAN_ENABLED = _os.environ.get("KG_OBO_SPARK_FASTSCAN", "1") != "0"
 
 #: Degradation ladder for the repair path — the distributed analog of the
 #: reference's robot convert fallback chain (robot_utils.py:108-143: full
@@ -196,11 +211,137 @@ class TermMatcher:
                 out.append((start, end, surf, tid, score))
         return out
 
+    def _get_scanner(self):
+        """Lazily built vectorized scanner (fastscan.VectorScanner) — the r4
+        matcher engine. None disables the fast path (import failure only;
+        per-batch fallbacks are handled by scan() itself)."""
+        if not hasattr(self, "_vscan"):
+            import re as _re
+
+            from kg_obo_spark.fastscan import VectorScanner
+
+            raw_iri = _re.sub(r"\\(.)", r"\1", self.iri_prefix_re)
+            self._vscan = VectorScanner(
+                self.surface_map,
+                self.known_prefixes,
+                self.known_ids,
+                raw_iri,
+                self.level,
+            )
+        return self._vscan
+
+    def find_batch_columnar(
+        self, texts: list, best_only: bool = True, need_surface: bool = True,
+        as_ranks: bool = False,
+    ):
+        """Vectorized batch scan returning COLUMNAR results:
+        ``(row_idx, start, end, surfaces, term_ids, scores)`` numpy arrays
+        (surfaces is a list or None). Returns None when the batch is outside
+        the fast path (non-ASCII text, surface set outside the token model) —
+        callers then use the regex ``find_batch``. Semantics are identical to
+        :meth:`find` row by row (pinned by tests/test_properties.py).
+
+        The scan is internally CHUNKED to ~750 KB of text: with many Python
+        workers in parallel the whole-batch array working set thrashes the
+        shared cache (measured 1.7x aggregate throughput loss at 16-way on
+        this VM); cache-sized chunks keep the vectorized win under
+        contention. ``KG_OBO_SPARK_FASTSCAN=0`` disables the fast path (A/B
+        harness and safety hatch; workers read it at import)."""
+        import numpy as np
+
+        n = len(texts)
+        if n == 0 or not _FASTSCAN_ENABLED:
+            return None
+        scanner = self._get_scanner()
+        clean = [t if t is not None else "" for t in texts]
+        # row chunks by cumulative char budget
+        chunk_budget = 750_000
+        chunks: list[tuple[int, int]] = []
+        cstart, acc = 0, 0
+        for i, t in enumerate(clean):
+            acc += len(t) + 1
+            if acc >= chunk_budget:
+                chunks.append((cstart, i + 1))
+                cstart, acc = i + 1, 0
+        if cstart < n:
+            chunks.append((cstart, n))
+        parts = []
+        for s0, s1 in chunks:
+            res = self._columnar_chunk(
+                clean[s0:s1], best_only, need_surface, scanner, as_ranks
+            )
+            if res is None:  # non-ASCII chunk -> whole batch via regex path
+                return None
+            parts.append((s0, res))
+        if len(parts) == 1:
+            return parts[0][1]
+        rows = np.concatenate([p[1][0] + p[0] for p in parts])
+        starts = np.concatenate([p[1][1] for p in parts])
+        ends = np.concatenate([p[1][2] for p in parts])
+        surfaces = None
+        if need_surface:
+            surfaces = [s for p in parts for s in p[1][3]]
+        tids = np.concatenate([p[1][4] for p in parts])
+        scores = np.concatenate([p[1][5] for p in parts])
+        return rows, starts, ends, surfaces, tids, scores
+
+    def _columnar_chunk(self, clean, best_only, need_surface, scanner, as_ranks=False):
+        import numpy as np
+
+        n = len(clean)
+        big = "\x00".join(clean)
+        cand = scanner.scan(big)
+        if cand is None:
+            return None
+        sel = scanner.sweep(cand, best_only)
+        start = cand["start"][sel]
+        end = cand["end"][sel]
+        row_starts = np.zeros(n, dtype=np.int64)
+        lens = np.fromiter((len(t) + 1 for t in clean), dtype=np.int64, count=n)
+        np.cumsum(lens[:-1], out=row_starts[1:])
+        row = np.searchsorted(row_starts, start, side="right") - 1
+        base = row_starts[row]
+        surfaces = None
+        if need_surface:
+            sl = start.tolist()
+            el = end.tolist()
+            surfaces = [big[s:e] for s, e in zip(sl, el)]
+        return (
+            row,
+            start - base,
+            end - base,
+            surfaces,
+            cand["rank"][sel] if as_ranks else scanner._tid_strings[cand["rank"][sel]],
+            cand["score"][sel],
+        )
+
+    def canon_rank_table(self, canon: dict[str, str]):
+        """(rank -> canonical-rank int table, sorted canonical string array)
+        for the scanner's term-id table under a canonicalization dict — lets
+        the fused per-turn reduce run entirely on int arrays. Cached per
+        canon-dict identity (the dict is closure-shipped once per worker)."""
+        import numpy as np
+
+        cached = getattr(self, "_canon_rank_cache", None)
+        if cached is not None and cached[0] is canon:
+            return cached[1], cached[2]
+        table = self._get_scanner()._tid_strings
+        get = canon.get
+        mapped = [get(t, t) for t in table]
+        cu = sorted(set(mapped))
+        pos = {s: i for i, s in enumerate(cu)}
+        cr = np.fromiter((pos[s] for s in mapped), dtype=np.int64, count=len(mapped))
+        cu_arr = np.array(cu, dtype=object)
+        self._canon_rank_cache = (canon, cr, cu_arr)
+        return cr, cu_arr
+
     def find_batch(
         self, texts: list, best_only: bool = True
     ) -> list[list[tuple[int, int, str, str, float]]]:
-        """Batched :meth:`find`: ONE regex pass per pattern over the whole
-        Arrow batch instead of two ``finditer`` calls per row.
+        """Batched :meth:`find`: the vectorized columnar scanner when the
+        batch qualifies (ASCII, token-model dictionary), else ONE regex pass
+        per pattern over the whole Arrow batch instead of two ``finditer``
+        calls per row.
 
         The rows are joined with ``\\x00`` separators — NUL is outside every
         boundary class ([^A-Za-z0-9_] lookarounds), so row edges behave
@@ -215,6 +356,14 @@ class TermMatcher:
         n = len(texts)
         if n == 0:
             return []
+        cols = self.find_batch_columnar(texts, best_only=best_only)
+        if cols is not None:
+            row, rs, re_, surfs, tids, scores = cols
+            out: list[list] = [[] for _ in range(n)]
+            rl, sl, el, scl = row.tolist(), rs.tolist(), re_.tolist(), scores.tolist()
+            for i in range(len(rl)):
+                out[rl[i]].append((sl[i], el[i], surfs[i], tids[i], scl[i]))
+            return out
         clean = [t if t is not None else "" for t in texts]
         big = "\x00".join(clean)
         starts = [0] * n

@@ -92,13 +92,25 @@ def extract_mentions(
         matcher = get_matcher(onto, degradation_level)
         for pdf in batches:
             texts = pdf["text"].to_numpy()
-            # one regex pass per pattern over the whole batch (find_batch);
-            # None text -> no matches (diverted rows are counted upstream by
-            # split_valid_turns)
-            batch_found = matcher.find_batch(list(texts), best_only=best_only)
-            counts = np.fromiter(
-                (len(f) for f in batch_found), dtype=np.int64, count=len(batch_found)
+            # columnar vectorized scan (fastscan) when the batch qualifies:
+            # the result frame is assembled straight from the match arrays,
+            # no per-mention tuples anywhere
+            cols = matcher.find_batch_columnar(
+                list(texts), best_only=best_only, need_surface=True
             )
+            if cols is not None:
+                ridx, st, en, surfs, tids, scores = cols
+                counts = np.bincount(ridx, minlength=len(pdf))
+            else:
+                # regex fallback (non-ASCII batch / non-token dictionary);
+                # None text -> no matches (diverted rows are counted upstream
+                # by split_valid_turns)
+                batch_found = matcher.find_batch(list(texts), best_only=best_only)
+                counts = np.fromiter(
+                    (len(f) for f in batch_found),
+                    dtype=np.int64,
+                    count=len(batch_found),
+                )
             if max_candidates_per_turn is not None and counts.size:
                 worst = int(counts.argmax())
                 if counts[worst] > max_candidates_per_turn:
@@ -108,6 +120,19 @@ def extract_mentions(
                         int(counts[worst]),
                         max_candidates_per_turn,
                     )
+            if cols is not None:
+                yield pd.DataFrame(
+                    {
+                        "conv_id": pdf["conv_id"].to_numpy()[ridx],
+                        "turn_idx": pdf["turn_idx"].to_numpy()[ridx].astype("int32"),
+                        "start": st.astype(np.int32),
+                        "end": en.astype(np.int32),
+                        "surface": np.array(surfs, dtype=object),
+                        "term_id": tids,
+                        "score": scores,
+                    }
+                )
+                continue
             # flatten once; key columns come from vectorized fancy indexing
             # instead of per-mention Python appends
             ridx = np.repeat(np.arange(len(batch_found)), counts)
@@ -154,13 +179,18 @@ def extract_turn_terms(
 
     Arrow-native stage (``mapInArrow``): texts come out of the RecordBatch via
     ``to_pylist`` (C) and key columns go back via Arrow ``take`` — no pandas
-    Series/DataFrame materialization on either side. Interleaved A/B vs the
-    previous mapInPandas variant on the 1.7M-turn bench corpus: ~8% median
-    win; the profiled remainder is the regex engine's C work itself (id+dict
-    scans are ~75% of find_batch), not conversion overhead."""
+    Series/DataFrame materialization on either side. The scan itself is the
+    vectorized matcher engine (``fastscan``, r4): columnar match arrays with
+    integer term ranks, per-turn reduce as one int-key ``np.unique``, and the
+    list column built from offsets via ``pa.ListArray.from_arrays`` — zero
+    per-row/per-match Python. Interleaved A/B vs the regex engine on the
+    1.7M-turn bench corpus at local[32]: scan stage 1.6x, whole pipeline
+    1.4-1.5x (kg_pipeline 7.3 s -> 4.8 s); the regex path remains as the
+    non-ASCII / non-token-dictionary fallback."""
     canon = canon or {}
 
     def scan(batches):
+        import numpy as np
         import pyarrow as pa
 
         matcher = get_matcher(onto, degradation_level)
@@ -168,6 +198,40 @@ def extract_turn_terms(
         for rb in batches:
             schema = rb.schema
             texts = rb.column(schema.get_field_index("text")).to_pylist()
+            cols = matcher.find_batch_columnar(
+                texts, best_only=True, need_surface=False, as_ranks=True
+            )
+            if cols is not None:
+                # fully vectorized per-turn reduce: the canon map is applied
+                # ONCE to the matcher's term-id table (cached rank->canon-rank
+                # int table), then the sorted-distinct-per-row set is one
+                # np.unique over (row, canon_rank) int keys and the list
+                # column is built from offsets — zero per-row Python and no
+                # object-string sorting in the batch loop
+                row, _st, _en, _surf, ranks, _sc = cols
+                if row.size == 0:
+                    continue
+                cr_table, cu = matcher.canon_rank_table(canon)
+                key = row.astype(np.int64) * len(cu) + cr_table[ranks]
+                ukey = np.unique(key)
+                rows2 = ukey // len(cu)
+                cr2 = ukey % len(cu)
+                urows, counts = np.unique(rows2, return_counts=True)
+                offsets = np.zeros(urows.shape[0] + 1, dtype=np.int32)
+                np.cumsum(counts, out=offsets[1:])
+                terms_arr = pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array(cu[cr2], type=pa.string())
+                )
+                idx = pa.array(urows, type=pa.int32())
+                yield pa.record_batch(
+                    [
+                        rb.column(schema.get_field_index("conv_id")).take(idx),
+                        rb.column(schema.get_field_index("turn_idx")).take(idx),
+                        terms_arr,
+                    ],
+                    names=["conv_id", "turn_idx", "terms"],
+                )
+                continue
             bf = matcher.find_batch(texts, best_only=True)
             keep_idx: list[int] = []
             terms_col: list[list[str]] = []

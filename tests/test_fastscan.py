@@ -1,0 +1,158 @@
+"""Vectorized matcher engine (fastscan): row-by-row equivalence with the
+regex engine across dictionaries, degradation levels, and both candidate
+modes; fallback behavior for non-ASCII and non-token-model surfaces.
+
+No Spark needed — this pins the engine the Arrow stages call."""
+
+import numpy as np
+import pytest
+
+from kg_obo_spark.datagen.ontology import build_ontology
+from kg_obo_spark.datagen.transcripts import _gen_for_convs
+from kg_obo_spark.dictionary import TermMatcher, build_matcher
+
+
+@pytest.fixture(scope="module")
+def onto():
+    return build_ontology()
+
+
+@pytest.fixture(scope="module")
+def texts(onto):
+    pdf = _gen_for_convs(np.arange(600, dtype=np.int64), 99, onto.terms, (2, 6))
+    return pdf["text"].tolist()
+
+
+def _regex_batch(m, texts, best_only=True):
+    saved = m.find_batch_columnar
+    m.find_batch_columnar = lambda *a, **k: None
+    try:
+        return m.find_batch(texts, best_only=best_only)
+    finally:
+        m.find_batch_columnar = saved
+
+
+@pytest.mark.parametrize("level", [0, 1, 2, 3])
+@pytest.mark.parametrize("best_only", [True, False])
+def test_vector_equals_per_row_find(onto, texts, level, best_only):
+    m = build_matcher(onto, level)
+    got = m.find_batch(texts, best_only=best_only)
+    assert got == [m.find(t, best_only=best_only) for t in texts]
+
+
+def test_vector_equals_regex_batch(onto, texts):
+    m = build_matcher(onto, 0)
+    assert m.find_batch(texts) == _regex_batch(m, texts)
+
+
+def test_all_id_shapes_and_boundaries(onto):
+    m = build_matcher(onto, 0)
+    tid = onto.terms[0]["id"]  # e.g. BFO:0000001
+    pfx, num = tid.split(":")
+    rows = [
+        f"plain {tid} here",
+        f"lower {pfx.lower()}:{num} here",
+        f"obo OBO:{pfx}_{num} here",
+        f"owl OBO:abc.OWL#{pfx}_{num} here",
+        f"iri http://purl.obolibrary.org/obo/{pfx}_{num} here",
+        f"x{tid} rejected-by-lookbehind",
+        f"9{pfx}:{num} rejected digit before",
+        f"{tid}5 rejected digit after",
+        f"{tid}{tid} only-first",  # second fails the digit lookbehind
+        f"OBO:{pfx}_{num}",  # at string start / end
+        tid,
+        "",
+        "no entities at all",
+        f"unknown UNKNOWN:{num} prefix",
+        f"short {pfx}:123 number",
+    ]
+    got = m.find_batch(rows)
+    want = [m.find(t) for t in rows]
+    assert got == want
+    assert got[0] and got[0][0][3] == tid and got[0][0][4] == 1.0
+    assert got[1] and got[1][0][4] == 0.97  # lowercased prefix repair
+    assert got[2] and got[2][0][3] == tid and got[2][0][4] == 0.98
+    assert got[3] and got[3][0][3] == tid  # .OWL# embedded form
+    assert got[4] and got[4][0][3] == tid  # raw IRI compressed
+    assert got[5] == [] and got[6] == [] and got[7] == []
+
+
+def test_dict_surfaces_case_and_overlap(onto):
+    m = build_matcher(onto, 0)
+    name = onto.terms[0]["name"]  # multi-token label
+    rows = [
+        f"the {name} appears",
+        f"the {name.upper()} appears",  # case variant -> -0.05
+        f"the {name.capitalize()} appears",
+        f"x_{name} blocked by underscore boundary",
+        f"{name}-suffix blocked by trailing hyphen boundary",
+        f"{name} {name} twice",
+    ]
+    got = m.find_batch(rows)
+    assert got == [m.find(t) for t in rows]
+    assert got[0][0][4] > got[1][0][4]  # exact case scores higher
+    assert len(got[5]) == 2
+
+
+def test_non_ascii_batch_falls_back_to_regex(onto):
+    m = build_matcher(onto, 0)
+    tid = onto.terms[0]["id"]
+    rows = [f"café {tid}", f"İstanbul {onto.terms[0]['name']}", tid]
+    got = m.find_batch(rows)
+    assert got == [m.find(t) for t in rows]
+    assert got[0] and got[0][0][3] == tid
+
+
+def test_chunking_preserves_row_offsets(onto):
+    """Rows spanning many internal chunks keep per-row offsets: feed enough
+    text to force >1 chunk (budget ~750KB) and compare to per-row find."""
+    m = build_matcher(onto, 0)
+    name = onto.terms[3]["name"]
+    filler = "lorem ipsum dolor sit amet " * 40
+    rows = [f"{filler} {name} tail {onto.terms[0]['id']}" for _ in range(1200)]
+    got = m.find_batch(rows)
+    want = m.find(rows[0])
+    assert all(g == want for g in got)
+
+
+def test_non_token_model_surface_uses_residual_regex():
+    """A surface outside the token model (doubled separator) still matches —
+    via the residual trie — alongside vectorized surfaces."""
+    m = TermMatcher(
+        surface_map={
+            "weird--surface": [("X:0000001", 1.0, "weird--surface")],
+            "normal surface": [("X:0000002", 1.0, "normal surface")],
+        },
+        known_prefixes={"X"},
+        known_ids={"X:0000001", "X:0000002"},
+        iri_prefix_re="http://purl\\.obolibrary\\.org/obo/",
+        version="t-1",
+    )
+    sc = m._get_scanner()
+    assert sc._residual == ["weird--surface"]
+    rows = ["a weird--surface and a normal surface here", "weird--surface"]
+    got = m.find_batch(rows)
+    assert got == [m.find(t) for t in rows]
+    assert {x[3] for x in got[0]} == {"X:0000001", "X:0000002"}
+
+
+def test_columnar_ranks_match_strings(onto, texts):
+    m = build_matcher(onto, 0)
+    cols_s = m.find_batch_columnar(texts, need_surface=False)
+    cols_r = m.find_batch_columnar(texts, need_surface=False, as_ranks=True)
+    table = m._get_scanner()._tid_strings
+    assert (table[cols_r[4]] == cols_s[4]).all()
+    # canon rank table composes: mapped strings equal dict lookups
+    canon = {onto.terms[1]["id"]: onto.terms[0]["id"]}
+    cr, cu = m.canon_rank_table(canon)
+    assert list(cu[cr]) == [canon.get(t, t) for t in table]
+
+
+def test_large_dictionary_equivalence():
+    onto = build_ontology(n_terms=5000)
+    m = build_matcher(onto, 0)
+    sc = m._get_scanner()
+    assert not sc._hash_collision and len(sc._residual) == 0
+    pdf = _gen_for_convs(np.arange(250, dtype=np.int64), 7, onto.terms, (2, 6))
+    rows = pdf["text"].tolist()
+    assert m.find_batch(rows) == [m.find(t) for t in rows]

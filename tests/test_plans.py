@@ -64,7 +64,9 @@ def test_small_dim_join_broadcasts_automatically(spark):
 def test_q1_partial_agg_and_codegen(spark):
     import __spark_entry__ as em
 
-    df = em.queries()["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    # all_queries: q1 may be parked out of the 50-row driver window by the
+    # per-round rotation schedule, but the plan contract holds regardless
+    df = em.all_queries()["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
     plan = _plan(df)
     # map-side partial aggregation before the exchange (the 100 TB essential)
     assert "partial_sum" in plan
