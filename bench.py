@@ -341,7 +341,7 @@ def run_scaling(reps: int = 3, levels: tuple[int, ...] = (2, 8, 32)) -> None:
             "KG-construction job (extract -> canonicalize -> per-turn reduce ->\n"
             "materialize edges) on byte-identical cached Parquet input at\n"
             "several parallelism levels in fresh JVMs (bench.py --scaling;\n"
-            "best-of-3 interleaved runs per level; two timed passes per JVM,\n"
+            f"best-of-{reps} interleaved runs per level; two timed passes per JVM,\n"
             "min kept = steady-state). Each level is pinned with\n"
             "`taskset -c 0-(N-1)` so local[N]'s JVM task threads AND its\n"
             "Python workers share exactly N hardware threads — without\n"
