@@ -121,3 +121,54 @@ def test_find_batch_equals_per_row_find(texts):
     batch = m.find_batch(texts)
     for t, got in zip(texts, batch):
         assert got == m.find(t)
+
+
+# ---------------------------------------------------------------- fastscan fuzz
+
+# Arbitrary haystacks mixing: planted ids in every shape, planted surfaces,
+# near-miss junk (wrong digit counts, unknown prefixes, boundary violators),
+# random words, punctuation, and non-ASCII — the vectorized scanner must agree
+# with the per-row regex engine byte-for-byte on ALL of it.
+_FUZZ_ATOMS = [
+    "material entity", "material", "MATERIAL ENTITY", "Material entity",
+    "mat-ent", "BFO:0000001", "bfo:0000001", "OBO:BFO_0000001",
+    "OBO:bfo.OWL#BFO_0000001", "http://purl.obolibrary.org/obo/BFO_0000001",
+    "BFO:0000002", "BFO:00000012", "BFO:000000", "XX:0000001", "OBO:XX_0000001",
+    "xBFO:0000001", "9BFO:0000001", "BFO:0000001x", "BFO:0000001-",
+    "_BFO:0000001", "BFO_0000001", ":0000001", "obo:BFO_0000001",
+    "material_entity", "materials", "entity", "m", "", " ", "-", "_", ":",
+    "\t", "\n", ".", ",", "(", ")", "7", "0000001", "café", "ünïcode",
+    "a" * 30, "material-entity",
+]
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_FUZZ_ATOMS), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from(["", " ", "-", "_", ":", "x"]),
+    st.booleans(),
+    st.integers(min_value=0, max_value=3),
+)
+def test_fastscan_fuzz_equals_regex_find(rows, joiner, best_only, level):
+    onto = build_ontology(n_terms=12, seed=1)
+    onto.terms = [
+        {
+            "id": "BFO:0000001", "iri": "http://purl.obolibrary.org/obo/BFO_0000001",
+            "name": "material entity", "synonyms": ["material", "mat-ent"],
+            "category": "biolink:OntologyClass", "prefix": "BFO",
+        },
+        {
+            "id": "BFO:0000002", "iri": "http://purl.obolibrary.org/obo/BFO_0000002",
+            "name": "material entity part", "synonyms": ["entity"],
+            "category": "biolink:OntologyClass", "prefix": "BFO",
+        },
+    ]
+    m = build_matcher(onto, level)
+    texts = [joiner.join(r) for r in rows]
+    got = m.find_batch(texts, best_only=best_only)
+    want = [m.find(t, best_only=best_only) for t in texts]
+    assert got == want
