@@ -164,6 +164,35 @@ def apply_id_update_map(
 
 # ---------------------------------------------------------- connected components
 
+#: Hive-partition column for the streaming canonical registry: every commit
+#: (delta and compaction) is partitioned by an id-hash bucket so the
+#: delta-endpoint lookup scan partition-prunes to the touched buckets.
+REGISTRY_BUCKET_COL = "_bucket"
+REGISTRY_N_BUCKETS = 64
+
+
+def registry_bucket(id_col: Column) -> Column:
+    return F.pmod(F.xxhash64(id_col), F.lit(REGISTRY_N_BUCKETS)).cast("int")
+
+
+def prune_registry_to_delta(registry: DataFrame, delta_ids: DataFrame) -> DataFrame:
+    """Restrict a bucketed registry scan to the partitions holding the given
+    (tiny) id set — the delta then bounds what the epoch READS from disk, not
+    just what it shuffles (pinned by
+    tests/test_plans.py::test_registry_lookup_scan_partition_prunes).
+    Registries without the bucket column (legacy layout) pass through."""
+    if REGISTRY_BUCKET_COL not in registry.columns:
+        return registry
+    bks = sorted(
+        r["b"]
+        for r in delta_ids.select(
+            registry_bucket(F.col(delta_ids.columns[0])).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    return registry.filter(F.col(REGISTRY_BUCKET_COL).isin(bks))
+
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
@@ -340,8 +369,9 @@ def registry_delta_update(
     else:
         # map-only scan: broadcast the (tiny) delta node set into the registry
         # scan, then resolve latest-epoch-wins over the delta-bounded hits only
+        reg = prune_registry_to_delta(registry, d_nodes)
         lookup = (
-            registry.join(F.broadcast(d_nodes), "id")
+            reg.join(F.broadcast(d_nodes), "id")
             .groupBy("id")
             .agg(F.max_by("component", "_epoch").alias("component"))
         )

@@ -373,7 +373,19 @@ class Table:
             # (Iceberg gets this from its schema registry; plain parquet needs
             # mergeSchema). Columns absent in older dirs read as null.
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*dirs)
+        if len(dirs) == 1:
+            return reader.parquet(dirs[0])
+        # append chain: read each data dir as its own root and union — a
+        # single multi-path read cannot do hive partition discovery across
+        # sibling roots (CONFLICTING_DIRECTORY_STRUCTURES for partitioned
+        # commits). Catalyst pushes filters through the Union, so partition
+        # pruning still reaches every scan.
+        from functools import reduce
+
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True),
+            [reader.parquet(d) for d in dirs],
+        )
 
     def expire_snapshots(self, keep: int = 1) -> dict:
         """Drop history: keep the ``keep`` newest snapshots' manifests, delete

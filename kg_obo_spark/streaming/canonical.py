@@ -8,7 +8,10 @@ fresh transcript batches), each micro-batch folds its delta into the previous
 batch is bounded by the delta, never the accumulated graph: the registry is
 only ever SCANNED map-side (broadcast joins), never shuffled, except at the
 periodic compaction epoch (r3 "what's wrong" #1 fixed; plan pinned by
-tests/test_plans.py).
+tests/test_plans.py). Every commit is hive-partitioned by an id-hash bucket
+(``REGISTRY_BUCKET_COL``), so the delta-endpoint lookup partition-prunes its
+scan to the buckets the delta touches — at 1e9-entity scale an epoch reads
+a delta-bounded slice of the registry, not all of it.
 
 **Delta commits** (VERDICT r2 missing #5): each epoch appends only the
 assignment rows the delta actually CHANGED (new ids + re-routed components),
@@ -32,7 +35,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from kg_obo_spark.operators.canonicalize import registry_delta_update
+from kg_obo_spark.operators.canonicalize import (
+    REGISTRY_BUCKET_COL,
+    registry_bucket,
+    registry_delta_update,
+)
 from kg_obo_spark.sources.tableio import Table
 
 ASSIGNMENT_SCHEMA = "id string, component string, _epoch long"
@@ -83,7 +90,12 @@ def start_canonicalization_stream(
         meta = {"reduced_edges": n_reduced, "star_rounds": n_rounds}
         latest = table.latest()
         n_dirs = len(json.loads(latest.data_dir)) if latest else 0
-        stamped = changed.withColumn("_epoch", F.lit(epoch_id))
+        # every commit is hive-partitioned by an id-hash bucket, so the next
+        # epoch's endpoint-lookup scan partition-prunes to the buckets its
+        # delta touches — the delta bounds what is READ, not just shuffled
+        stamped = changed.withColumn("_epoch", F.lit(epoch_id)).withColumn(
+            REGISTRY_BUCKET_COL, registry_bucket(F.col("id"))
+        )
         if latest is not None and n_dirs + 1 >= compact_every:
             # periodic compaction: one full snapshot replaces the delta chain.
             # The ONLY full-registry shuffle, paid every compact_every epochs
@@ -91,16 +103,18 @@ def start_canonicalization_stream(
             meta["compacted_dirs"] = n_dirs
             full = (
                 registry.select("id", "component", "_epoch")
-                .unionByName(stamped)
+                .unionByName(stamped.select("id", "component", "_epoch"))
                 .groupBy("id")
                 .agg(F.max_by("component", "_epoch").alias("component"))
                 .withColumn("_epoch", F.lit(epoch_id))
+                .withColumn(REGISTRY_BUCKET_COL, registry_bucket(F.col("id")))
             )
             table.commit(
                 full.localCheckpoint(),
                 mode="overwrite",
                 if_absent_tag=tag,
                 meta=meta,
+                partition_by=[REGISTRY_BUCKET_COL],
             )
         else:
             # delta commit: ONLY the rows this epoch changed (new ids +
@@ -110,6 +124,7 @@ def start_canonicalization_stream(
                 mode="append",
                 if_absent_tag=tag,
                 meta=meta,
+                partition_by=[REGISTRY_BUCKET_COL],
             )
 
     return (

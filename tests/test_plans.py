@@ -172,6 +172,44 @@ def test_registry_delta_changed_plan_has_no_shuffle(spark, tmp_path):
     assert n_reduced == 2
 
 
+def test_registry_lookup_scan_partition_prunes(spark, tmp_path):
+    """The streaming registry is hive-partitioned by an id-hash bucket; the
+    delta-endpoint lookup must partition-prune the scan to the buckets the
+    delta touches — the delta bounds what an epoch READS, not just what it
+    shuffles."""
+    from pyspark.sql import functions as F
+
+    from kg_obo_spark.operators.canonicalize import (
+        REGISTRY_BUCKET_COL,
+        prune_registry_to_delta,
+        registry_bucket,
+    )
+
+    reg_path = str(tmp_path / "reg")
+    (
+        spark.range(2000)
+        .select(
+            F.concat(F.lit("id"), F.col("id")).alias("id"),
+            F.concat(F.lit("id"), F.col("id")).alias("component"),
+            F.lit(0).alias("_epoch"),
+        )
+        .withColumn(REGISTRY_BUCKET_COL, registry_bucket(F.col("id")))
+        .write.partitionBy(REGISTRY_BUCKET_COL)
+        .parquet(reg_path)
+    )
+    registry = spark.read.parquet(reg_path)
+    delta_ids = spark.createDataFrame([("id7",), ("id8",)], "id string")
+    pruned = prune_registry_to_delta(registry, delta_ids)
+    plan = _plan(pruned)
+    assert "FileScan parquet" in plan
+    # the bucket predicate lands in PartitionFilters => directory-level skip
+    assert REGISTRY_BUCKET_COL in plan.split("PartitionFilters")[1][:200]
+    # the pruned frame holds only the delta's buckets (<= 2 of 64), and the
+    # delta ids survive in it
+    assert pruned.select(REGISTRY_BUCKET_COL).distinct().count() <= 2
+    assert pruned.filter(F.col("id").isin("id7", "id8")).count() == 2
+
+
 def test_fused_scan_is_map_only_and_prunes(spark, onto, tmp_path):
     """The flagship fused scan (mapInArrow): no Exchange anywhere in its plan,
     and the parquet read is pruned to (conv_id, turn_idx, text)."""
