@@ -407,3 +407,29 @@ def test_tag_race_rechecked_after_sequence_claim(spark, tmp_path, monkeypatch):
     # the released sequence claim does not wedge later commits
     snap = t.commit(spark.range(3, 6).toDF("id"), mode="append")
     assert snap.sequence == 1 and t.read(spark).count() == 6
+
+
+def test_partitioned_append_chain_reads_and_prunes(spark, tmp_path):
+    """Append-mode chains of hive-partitioned commits: the union read works
+    (per-root partition discovery) and a partition predicate still prunes
+    every member scan."""
+    from pyspark.sql import functions as F
+
+    from kg_obo_spark.sources.tableio import Table
+
+    t = Table(str(tmp_path / "t"))
+    for lo in (0, 100):
+        df = (
+            spark.range(lo, lo + 100)
+            .select(F.col("id"), F.pmod(F.col("id"), F.lit(8)).cast("int").alias("b"))
+        )
+        t.commit(df, mode="append", partition_by=["b"])
+    got = t.read(spark)
+    assert got.count() == 200
+    assert set(got.columns) == {"id", "b"}
+    pruned = got.filter(F.col("b") == 3)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the partition predicate reaches both member scans of the union
+    assert plan.count("PartitionFilters: [isnotnull(b") >= 2 or plan.count("b#") >= 2
+    assert pruned.count() == 25  # ids ≡ 3 (mod 8) in [0, 200)
+    assert {r["id"] % 8 for r in pruned.collect()} == {3}
