@@ -137,7 +137,7 @@ _FUZZ_ATOMS = [
     "xBFO:0000001", "9BFO:0000001", "BFO:0000001x", "BFO:0000001-",
     "_BFO:0000001", "BFO_0000001", ":0000001", "obo:BFO_0000001",
     "material_entity", "materials", "entity", "m", "", " ", "-", "_", ":",
-    "\t", "\n", ".", ",", "(", ")", "7", "0000001", "café", "ünïcode",
+    "\t", "\n", "\x00", ".", ",", "(", ")", "7", "0000001", "café", "ünïcode",
     "a" * 30, "material-entity",
 ]
 
