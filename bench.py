@@ -269,7 +269,7 @@ def run_registry_probe() -> None:
             F.concat(F.lit("a"), F.col("id")).alias("u"),
             F.concat(F.lit("b"), F.col("id")).alias("v"),
         )
-        apply_epoch(table, bulk, epoch_id, compact_every=100)
+        apply_epoch(table, bulk, epoch_id)  # production compaction cadence
         epoch_id += 1
         prev_size = size
         # measured: three fixed-size delta epochs against the grown registry
@@ -286,7 +286,7 @@ def run_registry_probe() -> None:
                 )
             )
             t0 = _t.time()
-            apply_epoch(table, delta, epoch_id, compact_every=100)
+            apply_epoch(table, delta, epoch_id)
             walls.append(round(_t.time() - t0, 2))
             epoch_id += 1
         snaps = sorted(table.snapshots(), key=lambda s: s.sequence)
@@ -297,6 +297,9 @@ def run_registry_probe() -> None:
                 "delta_epoch_walls_sec": walls,
                 "best_delta_wall_sec": min(walls),
                 "last_delta_batch_rows": snaps[-1].meta["batch_rows"],
+                "compactions_so_far": sum(
+                    1 for sn in snaps if "compacted_dirs" in sn.meta
+                ),
             }
         )
     n_final = read_assignment(spark, root).count()

@@ -180,7 +180,13 @@ def prune_registry_to_delta(registry: DataFrame, delta_ids: DataFrame) -> DataFr
     (tiny) id set — the delta then bounds what the epoch READS from disk, not
     just what it shuffles (pinned by
     tests/test_plans.py::test_registry_lookup_scan_partition_prunes).
-    Registries without the bucket column (legacy layout) pass through."""
+
+    Only the periodic COMPACTION snapshot is bucketed (the dominant part of
+    the registry); delta commits are small unpartitioned files whose rows
+    surface with a null bucket — the ``isNull`` arm keeps them fully in
+    scope while partition values still prune the snapshot scan (the pruner
+    evaluates the predicate on concrete partition values, where the null arm
+    is False). Registries without the bucket column pass through."""
     if REGISTRY_BUCKET_COL not in registry.columns:
         return registry
     bks = sorted(
@@ -191,7 +197,8 @@ def prune_registry_to_delta(registry: DataFrame, delta_ids: DataFrame) -> DataFr
         .distinct()
         .collect()
     )
-    return registry.filter(F.col(REGISTRY_BUCKET_COL).isin(bks))
+    b = F.col(REGISTRY_BUCKET_COL)
+    return registry.filter(b.isNull() | b.isin(bks))
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -328,7 +335,10 @@ def incremental_components(
 
 
 def registry_delta_update(
-    registry: DataFrame | None, new_edges: DataFrame, max_iter: int = 50
+    registry: DataFrame | None,
+    new_edges: DataFrame,
+    max_iter: int = 50,
+    small_threshold: int = 100_000,
 ) -> tuple[DataFrame, int, int]:
     """Delta-bounded registry update for the streaming canonicalization sink
     (VERDICT r3 "what's wrong" #1): compute the assignment rows a delta edge
@@ -354,10 +364,19 @@ def registry_delta_update(
         new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
     spark = e.sparkSession
     empty = spark.createDataFrame([], "id string, component string")
+    # driver-side fast path (the canonical_map small-threshold pattern): a
+    # micro-batch delta is tiny by design, and the distributed star-
+    # contraction costs ~15 Spark jobs of fixed overhead per epoch. Below the
+    # threshold, solve the (delta-bounded) reduced graph with union-find on
+    # the driver — the registry itself is still only touched by the same
+    # pruned scan + broadcast re-route join, never collected.
+    e_rows = [(r[0], r[1]) for r in e.limit(small_threshold + 1).collect()]
+    if len(e_rows) <= small_threshold:
+        return _registry_delta_update_small(registry, e_rows, empty)
+    e = e.localCheckpoint()
     d_nodes = (
         e.select(F.col("u").alias("id"))
         .union(e.select(F.col("v").alias("id")))
@@ -414,6 +433,56 @@ def registry_delta_update(
             "id", F.col("_newc").alias("component")
         )
     return changed_prev.unionByName(new_rows), n_reduced, n_rounds
+
+
+def _registry_delta_update_small(
+    registry: DataFrame | None, e_rows: list[tuple[str, str]], empty: DataFrame
+) -> tuple[DataFrame, int, int]:
+    """Driver-side twin of the distributed delta update, for micro-batch
+    deltas: endpoint lookup via ONE pruned registry scan, union-find on the
+    reduced pairs, changed rows via the same broadcast re-route join.
+    Semantics identical to the distributed path (pinned by the streaming
+    equivalence tests + test_registry_delta_small_equals_distributed)."""
+    spark = empty.sparkSession
+    if not e_rows:
+        return empty, 0, 0
+    d_ids = sorted({x for p in e_rows for x in p})
+    d_nodes = spark.createDataFrame([(i,) for i in d_ids], "id string")
+    lookup: dict[str, str] = {}
+    if registry is not None:
+        reg = prune_registry_to_delta(registry, d_nodes)
+        hits = (
+            reg.join(F.broadcast(d_nodes), "id")
+            .groupBy("id")
+            .agg(F.max_by("component", "_epoch").alias("component"))
+            .collect()
+        )
+        lookup = {r["id"]: r["component"] for r in hits}
+    get = lookup.get
+    reduced = {
+        (a, b)
+        for a, b in ((get(u, u), get(v, v)) for u, v in e_rows)
+        if a != b
+    }
+    n_reduced = len(reduced)
+    if n_reduced == 0:
+        return empty, 0, 0
+    mapping = union_find(sorted(reduced))
+    re_pairs = sorted((k, v) for k, v in mapping.items() if k != v)
+    if registry is not None and re_pairs:
+        re_df = spark.createDataFrame(re_pairs, "component string, _newc string")
+        changed_prev = registry.join(F.broadcast(re_df), "component").select(
+            "id", F.col("_newc").alias("component")
+        )
+    else:
+        changed_prev = empty
+    new_rows = sorted(
+        (i, mapping.get(i, i)) for i in d_ids if i not in lookup and i in mapping
+    )
+    if new_rows:
+        new_df = spark.createDataFrame(new_rows, "id string, component string")
+        return changed_prev.unionByName(new_df), n_reduced, 0
+    return changed_prev, n_reduced, 0
 
 
 def union_find(pairs: list[tuple[str, str]]) -> dict[str, str]:

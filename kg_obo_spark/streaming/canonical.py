@@ -8,10 +8,14 @@ fresh transcript batches), each micro-batch folds its delta into the previous
 batch is bounded by the delta, never the accumulated graph: the registry is
 only ever SCANNED map-side (broadcast joins), never shuffled, except at the
 periodic compaction epoch (r3 "what's wrong" #1 fixed; plan pinned by
-tests/test_plans.py). Every commit is hive-partitioned by an id-hash bucket
+tests/test_plans.py). The periodic compaction SNAPSHOT — the dominant part
+of the registry — is hive-partitioned by an id-hash bucket
 (``REGISTRY_BUCKET_COL``), so the delta-endpoint lookup partition-prunes its
-scan to the buckets the delta touches — at 1e9-entity scale an epoch reads
-a delta-bounded slice of the registry, not all of it.
+scan to the buckets the delta touches; delta commits stay small
+unpartitioned files (hive-splitting tiny deltas made per-epoch partition
+discovery the dominant cost, measured) and are always fully in scope. At
+1e9-entity scale an epoch reads a delta-bounded slice of the snapshot plus
+at most ``compact_every`` small delta files.
 
 **Delta commits** (VERDICT r2 missing #5): each epoch appends only the
 assignment rows the delta actually CHANGED (new ids + re-routed components),
@@ -85,16 +89,14 @@ def apply_epoch(
     meta = {"reduced_edges": n_reduced, "star_rounds": n_rounds}
     latest = table.latest()
     n_dirs = len(json.loads(latest.data_dir)) if latest else 0
-    # every commit is hive-partitioned by an id-hash bucket, so the next
-    # epoch's endpoint-lookup scan partition-prunes to the buckets its
-    # delta touches — the delta bounds what is READ, not just shuffled
-    stamped = changed.withColumn("_epoch", F.lit(epoch_id)).withColumn(
-        REGISTRY_BUCKET_COL, registry_bucket(F.col("id"))
-    )
+    stamped = changed.withColumn("_epoch", F.lit(epoch_id))
     if latest is not None and n_dirs + 1 >= compact_every:
         # periodic compaction: one full snapshot replaces the delta chain.
         # The ONLY full-registry shuffle, paid every compact_every epochs
-        # (amortized), not per delta.
+        # (amortized), not per delta. The snapshot — the dominant part of
+        # the registry — is hive-partitioned by an id-hash bucket, so the
+        # next epochs' endpoint-lookup scans partition-prune it to the
+        # buckets their deltas touch (the delta bounds what is READ).
         meta["compacted_dirs"] = n_dirs
         full = (
             registry.select("id", "component", "_epoch")
@@ -113,13 +115,16 @@ def apply_epoch(
         )
     else:
         # delta commit: ONLY the rows this epoch changed (new ids +
-        # assignments re-routed by a component merge)
+        # assignments re-routed by a component merge). Deltas stay
+        # UNPARTITIONED single files: hive-splitting a tiny delta into 64
+        # bucket dirs made per-epoch partition discovery the dominant cost
+        # (measured — per-epoch wall grew with chain length); readers see
+        # delta rows with a null bucket and keep them fully in scope.
         table.commit(
-            stamped.localCheckpoint(),
+            stamped.coalesce(1).localCheckpoint(),
             mode="append",
             if_absent_tag=tag,
             meta=meta,
-            partition_by=[REGISTRY_BUCKET_COL],
         )
 
 

@@ -194,3 +194,40 @@ def test_incremental_components_empty_delta_is_noop(spark):
     assert {(r["id"], r["component"]) for r in inc.collect()} == {
         (r["id"], r["component"]) for r in prev.collect()
     }
+
+
+def test_registry_delta_small_equals_distributed(spark):
+    """The driver-side union-find fast path and the distributed
+    star-contraction path of registry_delta_update produce identical changed
+    rows on a registry with reroutes, stale rows, and new ids."""
+    from kg_obo_spark.operators.canonicalize import registry_delta_update
+
+    registry = spark.createDataFrame(
+        [
+            ("b", "b", 0), ("c", "b", 0),          # stale rows (superseded)
+            ("a", "a", 1), ("b", "a", 1), ("c", "a", 1),
+            ("x", "x", 1), ("y", "x", 1),
+            ("z", "z", 2),
+        ],
+        "id string, component string, _epoch long",
+    )
+    delta = spark.createDataFrame(
+        [("c", "y"), ("n1", "n2"), ("n3", "z"), ("q", "q")],
+        "u string, v string",
+    )
+    small, nr_s, _ = registry_delta_update(registry, delta)
+    dist, nr_d, _ = registry_delta_update(registry, delta, small_threshold=0)
+    got_s = {(r["id"], r["component"]) for r in small.collect()}
+    got_d = {(r["id"], r["component"]) for r in dist.collect()}
+    assert got_s == got_d
+    assert nr_s == nr_d
+    # a-x merge: min(a,x)="a" so only x,y reroute (a,b,c keep "a" and are NOT
+    # re-emitted); n1/n2 are a first-seen pair; n3 links to z and "n3" < "z"
+    # so z reroutes to n3 and n3 is first-seen as its own min
+    assert got_s == {
+        ("x", "a"), ("y", "a"),
+        ("n1", "n1"), ("n2", "n1"),
+        ("n3", "n3"), ("z", "n3"),
+    }
+    assert not any(i == "q" for i, _ in got_s)  # self-loop id never appears
+    assert not any(c == "b" for _, c in got_s)  # stale label never re-routes

@@ -145,12 +145,18 @@ def test_deterministic_centroids_no_global_sort(spark):
     assert "Window" not in plan
 
 
-def test_registry_delta_changed_plan_has_no_shuffle(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("small_threshold", [100_000, 0])
+def test_registry_delta_changed_plan_has_no_shuffle(spark, tmp_path, small_threshold):
     """VERDICT r3 'what's wrong' #1: the streaming registry's per-epoch
     changed-row computation must never shuffle (or exceptAll) the accumulated
-    assignment table — only map-side broadcast-hash-join scans of it. The
-    delta-bounded intermediates are checkpointed, so the final changed plan
-    contains zero shuffle Exchange operators at all."""
+    assignment table — only map-side broadcast-hash-join scans of it. Both
+    paths are pinned: the driver-side union-find fast path (micro-batch
+    deltas) and the distributed star-contraction path (small_threshold=0
+    forces it); the delta-bounded intermediates are checkpointed/local, so
+    the final changed plan contains zero shuffle Exchange operators at all."""
     from kg_obo_spark.operators.canonicalize import registry_delta_update
 
     reg_path = str(tmp_path / "registry")
@@ -160,7 +166,9 @@ def test_registry_delta_changed_plan_has_no_shuffle(spark, tmp_path):
     ).write.parquet(reg_path)
     registry = spark.read.parquet(reg_path)
     delta = spark.createDataFrame([("a", "b"), ("d", "a")], "u string, v string")
-    changed, n_reduced, _ = registry_delta_update(registry, delta)
+    changed, n_reduced, _ = registry_delta_update(
+        registry, delta, small_threshold=small_threshold
+    )
     plan = _plan(changed)
     assert "Exchange hashpartitioning" not in plan
     assert "Except" not in plan
