@@ -314,12 +314,14 @@ def run_registry_probe() -> None:
     with open(os.path.join(REPO, "BENCH", "REGISTRY_PROBE.md"), "w") as f:
         f.write(
             "# Streaming canonical registry: per-epoch cost vs registry size\n\n"
-            "(bench.py --registry-probe) Fixed 2k-edge deltas folded into a\n"
-            "registry grown through the sizes below. The r4 formulation\n"
-            "computes changed rows from the incremental broadcast join\n"
-            "(registry never shuffled per epoch) and partition-prunes the\n"
-            "endpoint-lookup scan to the delta's id-hash buckets, so the\n"
-            "per-epoch wall should stay ~flat as the registry grows 8x.\n\n"
+            "(bench.py --registry-probe, production compaction cadence)\n"
+            "Fixed 2k-edge deltas folded into a registry grown through the\n"
+            "sizes below. The r4 formulation never shuffles the registry per\n"
+            "epoch: micro-batch deltas resolve via a driver-side union-find\n"
+            "over the delta-bounded reduced graph, the endpoint lookup\n"
+            "partition-prunes the compaction snapshot to the delta's id-hash\n"
+            "buckets, and delta commits are small unpartitioned files -- so\n"
+            "the per-epoch wall stays ~flat as the registry grows 8x.\n\n"
             "| registry ids | delta edges | epoch walls (s) | best (s) | rows committed |\n"
             "|---|---|---|---|---|\n" + rows + "\n\n"
             f"Final resolved registry: {n_final:,} ids. Committed rows per\n"
