@@ -53,20 +53,54 @@ def _table(out_root: str) -> Table:
     return Table(f"{out_root}/canonical_assignment")
 
 
-def read_assignment(spark: SparkSession, out_root: str) -> DataFrame:
+def read_assignment(
+    spark: SparkSession, out_root: str, broadcast_tail_rows: int = 5_000_000
+) -> DataFrame:
     """The current (id, component) registry: latest-epoch-wins per id over the
-    delta commits. Between compactions the union holds at most
-    ``compact_every`` delta dirs plus one full snapshot, so each id resolves
-    over a handful of rows at most."""
+    delta commits.
+
+    Shuffle-free resolve (the layout makes it possible): every single commit
+    holds at most one row per id, and the chain's FIRST dir (the compaction
+    snapshot, or the oldest delta) carries the oldest epochs — so the
+    resolved registry is ``base`` minus the ids the delta tail touched, plus
+    the tail's own latest-wins rows. The tail is bounded by
+    ``compact_every`` delta-sized files (row count read from parquet
+    footers, O(1) data), so its ids BROADCAST into an anti-join against the
+    base scan: zero shuffle over the registry body, one tiny shuffle over
+    the tail. Falls back to the full groupBy resolve if the tail outgrows
+    ``broadcast_tail_rows`` (pathological compaction lag)."""
     table = _table(out_root)
     if not table.exists():
         return spark.createDataFrame([], ASSIGNMENT_SCHEMA).select("id", "component")
-    df = table.read(spark)
-    # latest-epoch-wins as an aggregate, not a window: max_by partial-
-    # aggregates map-side, so the resolve shuffle carries one row per id per
-    # task instead of every delta row sorted (an id appears at most once per
-    # epoch — delta commits hold only changed rows)
-    return df.groupBy("id").agg(F.max_by("component", "_epoch").alias("component"))
+    dirs = json.loads(table.latest().data_dir)
+    base = spark.read.parquet(dirs[0]).select("id", "component", "_epoch")
+    if len(dirs) == 1:
+        return base.select("id", "component")
+    from kg_obo_spark.sources.tableio import _parquet_row_count
+
+    tail_rows = sum(_parquet_row_count(d) for d in dirs[1:])
+    if tail_rows > broadcast_tail_rows:
+        # latest-epoch-wins as an aggregate, not a window: max_by partial-
+        # aggregates map-side, so the resolve shuffle carries one row per id
+        # per task instead of every delta row sorted
+        return table.read(spark).groupBy("id").agg(
+            F.max_by("component", "_epoch").alias("component")
+        )
+    from functools import reduce
+
+    tail = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True),
+        [spark.read.parquet(d) for d in dirs[1:]],
+    ).select("id", "component", "_epoch")
+    tail_res = tail.groupBy("id").agg(
+        F.max_by("component", "_epoch").alias("component")
+    )
+    tail_ids = tail.select("id").distinct()
+    return (
+        base.join(F.broadcast(tail_ids), "id", "left_anti")
+        .select("id", "component")
+        .unionByName(tail_res)
+    )
 
 
 def apply_epoch(

@@ -233,3 +233,36 @@ def test_fused_scan_is_map_only_and_prunes(spark, onto, tmp_path):
     assert "MapInArrow" in plan or "PythonMapInArrow" in plan
     scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "text" in scan_line and "role" not in scan_line and "ts" not in scan_line
+
+
+def test_read_assignment_resolve_is_broadcast_not_shuffle(spark, tmp_path):
+    """The registry consumer API resolves latest-epoch-wins WITHOUT shuffling
+    the registry body: base snapshot minus the (broadcast) delta-tail ids,
+    union the tail's own resolve. Only the tiny tail aggregation exchanges."""
+    from pyspark.sql import functions as F
+
+    from kg_obo_spark.sources.tableio import Table
+    from kg_obo_spark.streaming.canonical import apply_epoch, read_assignment
+
+    out = str(tmp_path / "out")
+    table = Table(out + "/canonical_assignment")
+    bulk = spark.range(3000).select(
+        F.concat(F.lit("a"), F.col("id")).alias("u"),
+        F.concat(F.lit("b"), F.col("id")).alias("v"),
+    )
+    apply_epoch(table, bulk, 0)
+    delta = spark.createDataFrame([("a1", "a2"), ("z1", "z2")], "u string, v string")
+    apply_epoch(table, delta, 1)
+    res = read_assignment(spark, out)
+    plan = _plan(res)
+    # the base registry streams through a broadcast anti-join (tail ids are
+    # the build side) — never a sort-merge join or a registry-wide shuffle
+    anti_line = next(l for l in plan.splitlines() if "LeftAnti" in l)
+    assert "BroadcastHashJoin" in anti_line and "BuildRight" in anti_line
+    assert "SortMergeJoin" not in plan
+    # the only hash exchanges belong to the tiny tail (its latest-wins
+    # aggregate and its distinct-ids build), not the base scan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    got = {(r["id"], r["component"]) for r in res.collect()}
+    assert ("a2", "a1") in got and ("z1", "z1") in got and ("z2", "z1") in got
+    assert sum(1 for _ in got) == 6002
