@@ -50,7 +50,6 @@ _M64 = (1 << 64) - 1
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 _MAX_CHAIN = 8  # longest surface, in tokens, the chain tables cover
 
-_OWL_FORM_RE = re.compile(r"(?<![A-Za-z0-9_:])OBO:[A-Za-z]+\.OWL#[A-Za-z]+_\d{7}")
 
 
 def _poly_hash_bytes(bs: bytes) -> int:
@@ -93,7 +92,14 @@ class VectorScanner:
         self._tid_rank = {t: i for i, t in enumerate(self._tid_strings)}
 
         # ---- explicit-id tables -------------------------------------------
-        self._prefixes = sorted(p for p in known_prefixes if p != "OBO")
+        # "OBO" stays in the table: the regex engine (dictionary.py
+        # _collect_id_cands) rejects only the exact-uppercase surface "OBO:",
+        # so case variants like obo:0000001 must still resolve when OBO is a
+        # known prefix. The plain-CURIE branch applies the same surface rule.
+        self._prefixes = sorted(known_prefixes)
+        self._obo_pfx_idx = (
+            self._prefixes.index("OBO") if "OBO" in self._prefixes else -1
+        )
         self._pfx_lower = [
             np.frombuffer(p.lower().encode(), dtype=np.uint8) for p in self._prefixes
         ]
@@ -333,6 +339,11 @@ class VectorScanner:
             c, ps, pidx = c[keep], ps[keep], pidx[keep]
         if c.size:
             isupper = ~has_lower(ps, c)
+            if self._obo_pfx_idx >= 0:
+                # regex rule: only the exact-uppercase "OBO:" surface is
+                # excluded; obo:/Obo: variants still repair at 0.97
+                keep = ~((pidx == self._obo_pfx_idx) & isupper)
+                c, ps, pidx, isupper = c[keep], ps[keep], pidx[keep], isupper[keep]
             if self.level >= 3:
                 c, ps, pidx, isupper = c[isupper], ps[isupper], pidx[isupper], isupper[isupper]
         if c.size:
@@ -389,16 +400,48 @@ class VectorScanner:
                 if cand.size:
                     mat = a[pi[cand, None] + np.arange(L)]
                     iri[cand] = (mat == self._iri_bytes).all(axis=1)
-                # rare OWL# form: windowed regex per candidate
+                # rare OWL# form: deterministic walk-back per candidate over
+                # "OBO:" [A-Za-z]+ ".OWL" right before the '#' at ps-1 —
+                # mirrors the possessive regex branch exactly (maximal alpha
+                # run, unbounded name length, no shared-window confusion
+                # between adjacent mentions)
                 owl_start = np.full(u.shape[0], -1, dtype=np.int64)
                 maybe = np.flatnonzero(
                     ~direct & ~iri & (ps > 0) & (a[np.maximum(ps - 1, 0)] == 35)
                 )
                 for j in maybe:
-                    w = max(0, int(ps[j]) - 64)
-                    m = _OWL_FORM_RE.search(big, w, int(u[j]) + 8)
-                    if m is not None and m.end() == int(u[j]) + 8:
-                        owl_start[j] = m.start()
+                    p = int(ps[j])  # '#' sits at p-1
+                    # ".OWL" immediately before the '#'
+                    if p < 10 or not (
+                        a[p - 2] == 76  # L
+                        and a[p - 3] == 87  # W
+                        and a[p - 4] == 79  # O
+                        and a[p - 5] == 46  # .
+                    ):
+                        continue
+                    q = p - 5  # walk back over the [A-Za-z]+ ontology name
+                    while q > 0 and is_alpha[q - 1]:
+                        q -= 1
+                    if q == p - 5 or q < 4:  # empty name / no room for OBO:
+                        continue
+                    if not (
+                        a[q - 4] == 79  # O
+                        and a[q - 3] == 66  # B
+                        and a[q - 2] == 79  # O
+                        and a[q - 1] == 58  # :
+                    ):
+                        continue
+                    if q - 5 >= 0:  # lookbehind [^A-Za-z0-9_:]
+                        b = int(a[q - 5])
+                        if (
+                            (65 <= b <= 90)
+                            or (97 <= b <= 122)
+                            or (48 <= b <= 57)
+                            or b == 95
+                            or b == 58
+                        ):
+                            continue
+                    owl_start[j] = q - 4
                 owl = owl_start >= 0
                 keep = direct | iri | owl
                 st = np.where(direct, ps - 4, np.where(iri, ps - L, owl_start))

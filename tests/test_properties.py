@@ -5,7 +5,7 @@ cores: distributed CC == union-find on arbitrary graphs, matcher span
 invariants on arbitrary planted text, sessionization monotonicity.
 """
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from kg_obo_spark.datagen.ontology import build_ontology
@@ -153,6 +153,12 @@ _FUZZ_ATOMS = [
     st.booleans(),
     st.integers(min_value=0, max_value=3),
 )
+@example(
+    rows=[['OBO:bfo.OWL#BFO_0000001', 'OBO:bfo.OWL#BFO_0000001']],
+    joiner=' ',
+    best_only=False,  # or any other generated value
+    level=0,
+).via('discovered failure')
 def test_fastscan_fuzz_equals_regex_find(rows, joiner, best_only, level):
     onto = build_ontology(n_terms=12, seed=1)
     onto.terms = [
