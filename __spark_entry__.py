@@ -1017,21 +1017,24 @@ def q_publish_dead_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_QUERY_CAP = 50
 
 _ROTATED_OUT = (
-    # --- r4 parked set: every entry below was green rows+schema+hash in
-    # CORRECTNESS_r03 (most in r1+r2 as well); still swept by the local parity
-    # harness + tests/test_entry_contract.py::test_rotated_parity.
-    "q1_pricing_summary",
-    "q10_returned_items",
-    "revenue_by_segment",
-    "p1_filter_isin",
-    "p2_illegal_chars",
-    "p4_category_rewrite",
-    "j1_broadcast_remap",
-    "j4_version_selfjoin",
-    "a7_group_collect",
-    "s5_extract_all_explode",
-    "window_latest",
-    "text_lang_id",
+    # --- r5 parked set (alternating schedule: every oracled query gets a
+    # driver row at least every other round). Every entry below is green
+    # rows+schema+hash in CORRECTNESS_r04 (and r1/r2 before); still swept by
+    # the local parity harness + test_entry_contract.py::test_rotated_parity.
+    # The r4-parked set (q1/q10/revenue_by_segment/p1/p2/p4/j1/j4/a7/s5/
+    # window_latest/text_lang_id) rotates back into the driver window here.
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_revenue_by_nation",
+    "q7_volume_shipping",
+    "p3_version_validation",
+    "a10_distinct_namespaces",
+    "a12_dedup_rows",
+    "a14_format_fanout",
+    "text_token_count",
+    "json_extract",
+    "emb_norm_stats",
+    "cube_revenue",
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
