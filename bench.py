@@ -303,7 +303,67 @@ def run_registry_probe() -> None:
             }
         )
     n_final = read_assignment(spark, root).count()
-    report = {"metric": "registry_probe", "final_registry_ids": n_final, "levels": epochs}
+
+    # --- read-granularity A/B (VERDICT r4 Missing #3): the same-size delta,
+    # bucket-concentrated vs hash-spread, against the compacted 1024-bucket
+    # sorted snapshot — the endpoint lookup's read cost must track the number
+    # of bucket directories the delta touches, not the registry size.
+    from kg_obo_spark.operators.canonicalize import (
+        prune_registry_to_delta,
+        registry_bucket,
+    )
+
+    tiny = spark.range(1).select(
+        F.lit("probe_x").alias("u"), F.lit("probe_y").alias("v")
+    )
+    apply_epoch(table, tiny, epoch_id, compact_every=1)  # force compaction
+    epoch_id += 1
+    registry = Table(os.path.join(root, "canonical_assignment")).read(spark)
+    k = 1_000
+    spread = (
+        spark.range(k)
+        .select(F.concat(F.lit("a"), F.col("id") * 997 % 1_000_000).alias("id"))
+        .localCheckpoint()
+    )
+    concentrated = (
+        spark.range(1_000_000)
+        .select(F.concat(F.lit("a"), F.col("id")).alias("id"))
+        .filter(registry_bucket(F.col("id")) == 7)
+        .limit(k)
+        .localCheckpoint()
+    )
+    granularity = {}
+    for shape, d_nodes in (("spread", spread), ("concentrated", concentrated)):
+        n_ids = d_nodes.count()
+        n_buckets = (
+            d_nodes.select(registry_bucket(F.col("id")).alias("b"))
+            .distinct()
+            .count()
+        )
+        walls = []
+        for _ in range(3):
+            t0 = _t.time()
+            (
+                prune_registry_to_delta(registry, d_nodes)
+                .join(F.broadcast(d_nodes), "id")
+                .groupBy("id")
+                .agg(F.max_by("component", "_epoch").alias("component"))
+                .count()
+            )
+            walls.append(round(_t.time() - t0, 2))
+        granularity[shape] = {
+            "delta_ids": n_ids,
+            "buckets_read": n_buckets,
+            "lookup_walls_sec": walls,
+            "best_sec": min(walls),
+        }
+
+    report = {
+        "metric": "registry_probe",
+        "final_registry_ids": n_final,
+        "levels": epochs,
+        "read_granularity": granularity,
+    }
     print(json.dumps(report))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     rows = "\n".join(
@@ -326,7 +386,20 @@ def run_registry_probe() -> None:
             "|---|---|---|---|---|\n" + rows + "\n\n"
             f"Final resolved registry: {n_final:,} ids. Committed rows per\n"
             "delta epoch stay ~delta-sized (new ids + re-routed members),\n"
-            "independent of registry size.\n"
+            "independent of registry size.\n\n"
+            "## Read granularity: concentrated vs spread delta (r4 Missing #3)\n\n"
+            "Same-size endpoint lookup against the compacted snapshot\n"
+            "(1024 id-hash buckets, rows sorted by id within each bucket, id\n"
+            "range pushed to the parquet scan). The lookup reads only the\n"
+            "bucket directories the delta touches:\n\n"
+            "| delta shape | ids | bucket dirs read (of 1024) | lookup walls (s) | best (s) |\n"
+            "|---|---|---|---|---|\n"
+            + "\n".join(
+                f"| {shape} | {g['delta_ids']} | {g['buckets_read']} | "
+                f"{g['lookup_walls_sec']} | {g['best_sec']} |"
+                for shape, g in granularity.items()
+            )
+            + "\n"
         )
     shutil.rmtree(root, ignore_errors=True)
 

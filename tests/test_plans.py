@@ -212,7 +212,11 @@ def test_registry_lookup_scan_partition_prunes(spark, tmp_path):
     assert "FileScan parquet" in plan
     # the bucket predicate lands in PartitionFilters => directory-level skip
     assert REGISTRY_BUCKET_COL in plan.split("PartitionFilters")[1][:200]
-    # the pruned frame holds only the delta's buckets (<= 2 of 64), and the
+    # the id-range predicate lands in PushedFilters => row-group-level skip
+    # against the sorted-within-bucket compaction layout (r4 Missing #3)
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "GreaterThanOrEqual(id," in pushed and "LessThanOrEqual(id," in pushed
+    # the pruned frame holds only the delta's buckets (<= 2 of 1024), and the
     # delta ids survive in it
     assert pruned.select(REGISTRY_BUCKET_COL).distinct().count() <= 2
     assert pruned.filter(F.col("id").isin("id7", "id8")).count() == 2
