@@ -70,8 +70,39 @@ def probe_codecs() -> dict[str, bool]:
         pass
     import shutil
 
+    # consumed by decode_stub's audio/video branch (_ffprobe_duration_ms)
     caps["ffmpeg"] = shutil.which("ffprobe") is not None
     return caps
+
+
+def _ffprobe_duration_ms(payload: bytes) -> int | None:
+    """Real audio/video duration via ffprobe over stdin (no temp file); None
+    when ffprobe is missing, times out, or cannot parse the payload — callers
+    then fall back to the deterministic stub features."""
+    import json as _json
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [
+                "ffprobe",
+                "-v",
+                "quiet",
+                "-show_entries",
+                "format=duration",
+                "-of",
+                "json",
+                "-i",
+                "pipe:0",
+            ],
+            input=payload,
+            capture_output=True,
+            timeout=30,
+        )
+        dur = _json.loads(out.stdout or b"{}").get("format", {}).get("duration")
+        return int(float(dur) * 1000) if dur is not None else None
+    except Exception:
+        return None
 
 
 def _stub_features(digest_hex: str) -> tuple[int, int, int]:
@@ -91,8 +122,10 @@ def decode_stub(
 
     ``use_codecs=None`` (default) probes at runtime: with Pillow present,
     ``image/*`` payloads are REALLY decoded (width/height from the codec,
-    duration 0); everything else — and every environment without codecs, like
-    this container — falls back to the deterministic stub (dimensions/duration
+    duration 0); with ffprobe on PATH, ``audio/*``/``video/*`` payloads get
+    their REAL container duration (piped over stdin, no temp file).
+    Everything else — and every environment without codecs, like this
+    container — falls back to the deterministic stub (dimensions/duration
     derived from the payload hash, so tests are stable). ``use_codecs=False``
     pins the stub path regardless of environment — the driver-oracled
     ``multimodal_decode`` query pins it so the DuckDB oracle (which mirrors
@@ -103,7 +136,11 @@ def decode_stub(
     out, map-only) is identical on every path."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        caps = probe_codecs() if use_codecs is not False else {"pil": False}
+        caps = (
+            probe_codecs()
+            if use_codecs is not False
+            else {"pil": False, "ffmpeg": False}
+        )
         if use_codecs is True and not caps["pil"]:
             raise NotImplementedError(
                 "use_codecs=True but no image codec (Pillow) is importable"
@@ -131,6 +168,13 @@ def decode_stub(
                             real = (img.width, img.height, 0)
                     except Exception:
                         real = None  # undecodable payload -> stub features
+                elif (
+                    caps["ffmpeg"]
+                    and isinstance(kinds[i], str)
+                    and kinds[i].startswith(("audio/", "video/"))
+                ):
+                    d = _ffprobe_duration_ms(payloads[i])
+                    real = (0, 0, d) if d is not None else None
                 widths[i], heights[i], durations[i] = (
                     real if real is not None else _stub_features(digests[i])
                 )

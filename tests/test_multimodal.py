@@ -126,6 +126,58 @@ def test_decode_capability_probe_both_environments(spark):
     assert row["sha256"] == hashlib.sha256(png).hexdigest()
 
 
+def _tiny_wav(seconds: float = 1.0, rate: int = 8000) -> bytes:
+    """Minimal 8-bit mono PCM WAV: RIFF header + silence, ffprobe-parsable."""
+    import struct
+
+    n = int(seconds * rate)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8)
+        + b"data"
+        + struct.pack("<I", n)
+        + bytes(128 for _ in range(n))
+    )
+
+
+def test_decode_ffprobe_both_environments(spark):
+    """VERDICT r4 next #6: with ffprobe on PATH, audio/* payloads get their
+    REAL container duration through the same decode stage; without it (this
+    container) the deterministic stub features come back — same schema, same
+    plumbing, passing in BOTH environments (the Pillow-test pattern)."""
+    import hashlib
+
+    from kg_obo_spark.operators.multimodal import (
+        _ffprobe_duration_ms,
+        _stub_features,
+        decode_stub,
+        probe_codecs,
+    )
+
+    wav = _tiny_wav(1.0)
+    media = spark.createDataFrame(
+        [(1, "audio/wav", bytearray(wav), {})],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    row = decode_stub(media).first()
+    if probe_codecs()["ffmpeg"]:
+        assert (row["width"], row["height"]) == (0, 0)
+        assert abs(row["duration_ms"] - 1000) <= 50  # real 1.0 s container
+        assert _ffprobe_duration_ms(wav) is not None
+    else:
+        want = _stub_features(hashlib.sha256(wav).hexdigest())
+        assert (row["width"], row["height"], row["duration_ms"]) == want
+        # the helper itself degrades to None, never raises, without ffprobe
+        assert _ffprobe_duration_ms(wav) is None
+    # pinned-stub path is environment-independent (the driver-oracle contract)
+    pinned = decode_stub(media, use_codecs=False).first()
+    want = _stub_features(hashlib.sha256(wav).hexdigest())
+    assert (pinned["width"], pinned["height"], pinned["duration_ms"]) == want
+
+
 def test_decode_use_codecs_true_demands_real_codec(spark):
     import pytest
 
