@@ -379,12 +379,33 @@ class Table:
         # single multi-path read cannot do hive partition discovery across
         # sibling roots (CONFLICTING_DIRECTORY_STRUCTURES for partitioned
         # commits). Catalyst pushes filters through the Union, so partition
-        # pruning still reaches every scan.
+        # pruning still reaches every scan. Latest-schema-wins: each dir's
+        # columns are cast to the head snapshot's recorded types first, so a
+        # type-widening append (int -> long on the same column) unions cleanly
+        # instead of failing on the union's type check (the Iceberg rule:
+        # the table schema is the newest commit's schema).
         from functools import reduce
 
+        frames = [reader.parquet(d) for d in dirs]
+        target = snap.meta.get("schema")
+        if target:
+            from pyspark.sql import functions as F
+            from pyspark.sql.types import _parse_datatype_string
+
+            tgt = {f.name: f.dataType for f in _parse_datatype_string(target)}
+            frames = [
+                fr.select(
+                    *[
+                        F.col(c).cast(tgt[c]).alias(c)
+                        if c in tgt and fr.schema[c].dataType != tgt[c]
+                        else F.col(c)
+                        for c in fr.columns
+                    ]
+                )
+                for fr in frames
+            ]
         return reduce(
-            lambda a, b: a.unionByName(b, allowMissingColumns=True),
-            [reader.parquet(d) for d in dirs],
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
         )
 
     def expire_snapshots(self, keep: int = 1) -> dict:

@@ -198,6 +198,30 @@ def test_schema_evolution_on_append(spark):
     assert t.read(spark).count() == 8
 
 
+def test_type_widening_across_append_chain(spark):
+    """ADVICE r4 low #4: an int -> long widening on the SAME column across an
+    append chain must read cleanly — per-dir frames are cast to the head
+    snapshot's recorded schema (latest-schema-wins, the Iceberg rule) before
+    the union, so the union's type check never fires."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kg_obo_spark.sources.tableio import Table
+
+    t = Table(tempfile.mkdtemp())
+    t.commit(
+        spark.range(3).select(F.col("id").cast("int").alias("n")), mode="append"
+    )
+    t.commit(
+        spark.range(3, 6).select(F.col("id").cast("long").alias("n")),
+        mode="append",
+    )
+    df = t.read(spark)
+    assert dict(df.dtypes)["n"] == "bigint"  # head schema wins
+    assert sorted(r["n"] for r in df.collect()) == [0, 1, 2, 3, 4, 5]
+
+
 def test_concurrent_appends_lose_nothing(spark):
     """Optimistic commit conflict: 8 threads appending concurrently must each
     land a distinct sequence with a coherent parent chain — no lost updates
