@@ -618,6 +618,25 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style duplicate word-3-gram metrics per document; ratios as
+    # floor-scaled e6 ints (engines agree on floor of the identical IEEE
+    # double of identical integer count divisions)
+    from kg_obo_spark.functions.text import ngram_repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    r = ngram_repetition_stats(d, n=3)
+    return r.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct_grams",
+        F.floor(F.col("dup_gram_frac") * 1e6).cast("long").alias("dup_gram_frac_e6"),
+        F.floor(F.col("dup_gram_char_frac") * 1e6)
+        .cast("long")
+        .alias("dup_char_frac_e6"),
+    )
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
@@ -1035,6 +1054,7 @@ _ROTATED_OUT = (
     "json_extract",
     "emb_norm_stats",
     "cube_revenue",
+    "pivot_status",  # parked to make room for the new r5 text_repetition row
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -1093,6 +1113,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text / dedup / vectors / multimodal
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
+        "text_repetition": q_text_repetition,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
@@ -1439,6 +1460,27 @@ def all_oracle_sql() -> dict[str, str]:
                len(list_filter(string_split_regex(trim(text), '\s+'),
                                t -> len(t) > 0)) AS n_tokens
         FROM documents
+        """,
+        "text_repetition": r"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(ts) - 2),
+                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS gram
+          FROM t WHERE len(ts) >= 3
+        ), c AS (
+          SELECT doc_id, gram, COUNT(*) AS cnt, LENGTH(gram) AS glen
+          FROM g GROUP BY doc_id, gram
+        )
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+               CAST(floor((1.0 - COUNT(*) * 1.0 / SUM(cnt)) * 1e6) AS BIGINT)
+                 AS dup_gram_frac_e6,
+               CAST(floor(SUM(CASE WHEN cnt > 1 THEN cnt * glen ELSE 0 END) * 1.0
+                          / SUM(cnt * glen) * 1e6) AS BIGINT) AS dup_char_frac_e6
+        FROM c GROUP BY doc_id
         """,
         "text_quality": r"""
         SELECT doc_id, CAST(floor((

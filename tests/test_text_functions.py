@@ -56,3 +56,49 @@ def test_rolling_hash_deterministic(spark):
     # stable value (platform-independent FNV-ish polynomial)
     again = {r["id"]: r["rolling_hash"] for r in rolling_hash_frame(df).collect()}
     assert out == again
+
+
+def test_ngram_repetition_stats_vs_python(spark):
+    """Duplicate word-n-gram metrics equal a pure-Python reference on
+    hand-built docs (all-distinct, all-identical, mixed, too-short, empty)."""
+    from collections import Counter
+
+    from kg_obo_spark.functions.text import ngram_repetition_stats
+
+    rows = [
+        (1, "a b c d e"),              # 3 distinct 3-grams, no repeats
+        (2, "x y x y x y x y"),        # heavy repetition
+        (3, "one two"),                # < n tokens -> no output row
+        (4, ""),                       # empty -> no output row
+        (5, "p q r p q r p q z"),      # partial repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_grams"],
+            r["n_distinct_grams"],
+            round(r["dup_gram_frac"], 9),
+            round(r["dup_gram_char_frac"], 9),
+        )
+        for r in ngram_repetition_stats(df, n=3).collect()
+    }
+
+    want = {}
+    for doc_id, text in rows:
+        ts = text.split(" ")
+        grams = [" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)]
+        if not grams or len(ts) < 3:
+            continue
+        c = Counter(grams)
+        total, distinct = len(grams), len(c)
+        chars = sum(n * len(g) for g, n in c.items())
+        dup_chars = sum(n * len(g) for g, n in c.items() if n > 1)
+        want[doc_id] = (
+            total,
+            distinct,
+            round(1.0 - distinct / total, 9),
+            round(dup_chars / chars, 9),
+        )
+    assert got == want
+    assert set(got) == {1, 2, 5}
+    assert got[1][2] == 0.0 and got[2][2] > 0.5
