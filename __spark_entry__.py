@@ -634,6 +634,9 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("dup_gram_char_frac") * 1e6)
         .cast("long")
         .alias("dup_char_frac_e6"),
+        F.floor(F.col("top_gram_char_frac") * 1e6)
+        .cast("long")
+        .alias("top_char_frac_e6"),
     )
 
 
@@ -1479,7 +1482,9 @@ def all_oracle_sql() -> dict[str, str]:
                CAST(floor((1.0 - COUNT(*) * 1.0 / SUM(cnt)) * 1e6) AS BIGINT)
                  AS dup_gram_frac_e6,
                CAST(floor(SUM(CASE WHEN cnt > 1 THEN cnt * glen ELSE 0 END) * 1.0
-                          / SUM(cnt * glen) * 1e6) AS BIGINT) AS dup_char_frac_e6
+                          / SUM(cnt * glen) * 1e6) AS BIGINT) AS dup_char_frac_e6,
+               CAST(floor(MAX(cnt * glen) * 1.0
+                          / SUM(cnt * glen) * 1e6) AS BIGINT) AS top_char_frac_e6
         FROM c GROUP BY doc_id
         """,
         "text_quality": r"""

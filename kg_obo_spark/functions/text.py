@@ -169,9 +169,13 @@ def ngram_repetition_stats(
     Rae et al. 2021 §A1.1 use the same shape over 2..4-grams).
 
     Output per document (only documents with >= n tokens):
-    ``(id, n_grams, n_distinct_grams, dup_gram_frac, dup_gram_char_frac)``
-    where ``dup_gram_frac = 1 - distinct/total`` (count mass) and
-    ``dup_gram_char_frac`` is the character mass of grams occurring > 1 time.
+    ``(id, n_grams, n_distinct_grams, dup_gram_frac, dup_gram_char_frac,
+    top_gram_char_frac)`` where ``dup_gram_frac = 1 - distinct/total`` (count
+    mass), ``dup_gram_char_frac`` is the character mass of grams occurring
+    > 1 time, and ``top_gram_char_frac`` is the character mass of the
+    heaviest single gram — max over ``count × length`` (the Gopher "top
+    n-gram fraction" rule, made deterministic under count ties: a pure max
+    of numbers, not an arg-max whose tiebreak differs across engines).
 
     100 TB shape: tokens explode map-side; n-grams come from ``lead()`` over
     ``(id, token position)`` — ONE hash shuffle on the document key (NOT a
@@ -203,6 +207,7 @@ def ngram_repetition_stats(
             F.count("*").alias("n_distinct_grams"),
             F.sum(F.when(F.col("cnt") > 1, chars).otherwise(F.lit(0))).alias("_dup_chars"),
             F.sum(chars).alias("_chars"),
+            F.max(chars).alias("_top_chars"),
         )
         .select(
             F.col("id").alias(id_col),
@@ -212,5 +217,6 @@ def ngram_repetition_stats(
                 "dup_gram_frac"
             ),
             (F.col("_dup_chars") / F.col("_chars")).alias("dup_gram_char_frac"),
+            (F.col("_top_chars") / F.col("_chars")).alias("top_gram_char_frac"),
         )
     )

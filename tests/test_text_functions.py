@@ -79,6 +79,7 @@ def test_ngram_repetition_stats_vs_python(spark):
             r["n_distinct_grams"],
             round(r["dup_gram_frac"], 9),
             round(r["dup_gram_char_frac"], 9),
+            round(r["top_gram_char_frac"], 9),
         )
         for r in ngram_repetition_stats(df, n=3).collect()
     }
@@ -93,11 +94,13 @@ def test_ngram_repetition_stats_vs_python(spark):
         total, distinct = len(grams), len(c)
         chars = sum(n * len(g) for g, n in c.items())
         dup_chars = sum(n * len(g) for g, n in c.items() if n > 1)
+        top_chars = max(n * len(g) for g, n in c.items())
         want[doc_id] = (
             total,
             distinct,
             round(1.0 - distinct / total, 9),
             round(dup_chars / chars, 9),
+            round(top_chars / chars, 9),
         )
     assert got == want
     assert set(got) == {1, 2, 5}
