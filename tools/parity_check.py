@@ -52,9 +52,11 @@ def main() -> int:
     queries = entrymod.all_queries()
     oracles = entrymod.all_oracle_sql()
     failures = []
+    ran = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        ran += 1
         try:
             sdf = fn(spark, sf_dir)
             spdf = sdf.toPandas()
@@ -89,7 +91,7 @@ def main() -> int:
             print(pd.concat([a[neq].head(3), b[neq].head(3)]))
             continue
         print(f"PASS {name}: {len(a)} rows")
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} ok")
+    print(f"\n{ran - len(failures)}/{ran} ok")
     return 1 if failures else 0
 
 
