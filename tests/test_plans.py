@@ -270,3 +270,21 @@ def test_read_assignment_resolve_is_broadcast_not_shuffle(spark, tmp_path):
     got = {(r["id"], r["component"]) for r in res.collect()}
     assert ("a2", "a1") in got and ("z1", "z1") in got and ("z2", "z1") in got
     assert sum(1 for _ in got) == 6002
+
+
+def test_ngram_repetition_single_exchange(spark):
+    """The window's hash exchange on the doc key satisfies BOTH downstream
+    aggregations (ClusteredDistribution on (id, gram) and on (id) are met by
+    HashPartitioning(id)) — the whole per-doc repetition dataflow pays ONE
+    shuffle, with map-side partial aggregation on each groupBy."""
+    from kg_obo_spark.functions.text import ngram_repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y x y x")], "doc_id long, text string"
+    )
+    r = ngram_repetition_stats(df, n=3)
+    plan = _plan(r)
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(id" in plan
+    got = {x["doc_id"]: x["n_grams"] for x in r.collect()}
+    assert got == {1: 2, 2: 3}
