@@ -178,3 +178,53 @@ def test_fastscan_fuzz_equals_regex_find(rows, joiner, best_only, level):
     got = m.find_batch(texts, best_only=best_only)
     want = [m.find(t, best_only=best_only) for t in texts]
     assert got == want
+
+
+@_slow
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "x", "yy", ""]), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_ngram_repetition_matches_python(spark, docs):
+    """Distributed dup/top n-gram metrics equal a Counter-based reference on
+    arbitrary token lists (incl. empty tokens from doubled separators)."""
+    from collections import Counter
+
+    from kg_obo_spark.functions.text import ngram_repetition_stats
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_grams"],
+            r["n_distinct_grams"],
+            round(r["dup_gram_frac"], 9),
+            round(r["dup_gram_char_frac"], 9),
+            round(r["top_gram_char_frac"], 9),
+        )
+        for r in ngram_repetition_stats(df, n=3).collect()
+    }
+    want = {}
+    for doc_id, text in rows:
+        ts = text.split(" ")  # mirrors the operator: plain single-space split
+        grams = [" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)]
+        if not grams:
+            continue
+        c = Counter(grams)
+        total, distinct = len(grams), len(c)
+        chars = sum(n * len(g) for g, n in c.items())
+        dup = sum(n * len(g) for g, n in c.items() if n > 1)
+        top = max(n * len(g) for g, n in c.items())
+        want[doc_id] = (
+            total,
+            distinct,
+            round(1.0 - distinct / total, 9),
+            round(dup / chars, 9) if chars else 0.0,
+            round(top / chars, 9) if chars else 0.0,
+        )
+    assert got == want
