@@ -618,6 +618,17 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic 5% corpus slice: md5-bucket sampling, engine-portable
+    # (the reproducible sampler a training pipeline uses for splits)
+    from kg_obo_spark.operators.sampling import hash_mod_sample, sample_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_mod_sample(d, "doc_id", 500).select(
+        "doc_id", sample_bucket(F.col("doc_id")).alias("sample_bucket")
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher-style duplicate word-3-gram metrics per document; ratios as
     # floor-scaled e6 ints (engines agree on floor of the identical IEEE
@@ -1058,6 +1069,8 @@ _ROTATED_OUT = (
     "emb_norm_stats",
     "cube_revenue",
     "pivot_status",  # parked to make room for the new r5 text_repetition row
+    "sessionize",  # parked to make room for the new r5 sample_hash_mod row
+    # (temporal family keeps asof_join + user_session_features driver rows)
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -1117,6 +1130,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
+        "sample_hash_mod": q_sample_hash_mod,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
@@ -1463,6 +1477,14 @@ def all_oracle_sql() -> dict[str, str]:
                len(list_filter(string_split_regex(trim(text), '\s+'),
                                t -> len(t) > 0)) AS n_tokens
         FROM documents
+        """,
+        "sample_hash_mod": r"""
+        SELECT doc_id,
+               CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 10000 AS sample_bucket
+        FROM documents
+        WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 10000 < 500
         """,
         "text_repetition": r"""
         WITH t AS (

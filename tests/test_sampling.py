@@ -1,0 +1,55 @@
+"""Deterministic hash-mod sampling: reproducibility, split disjointness,
+rate accuracy, and engine-portability of the md5-bucket hash."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from kg_obo_spark.operators.sampling import (
+    SAMPLE_MOD,
+    hash_mod_sample,
+    sample_bucket,
+)
+
+
+def _py_bucket(key) -> int:
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % SAMPLE_MOD
+
+
+def test_bucket_matches_python_md5(spark):
+    df = spark.range(200).withColumnRenamed("id", "k")
+    got = {
+        r["k"]: r["b"]
+        for r in df.select("k", sample_bucket(F.col("k")).alias("b")).collect()
+    }
+    assert got == {k: _py_bucket(k) for k in range(200)}
+
+
+def test_sample_is_deterministic_and_partitioning_independent(spark):
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    a = {r["k"] for r in hash_mod_sample(df, "k", 500).collect()}
+    b = {r["k"] for r in hash_mod_sample(df.repartition(13), "k", 500).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_splits_are_disjoint_and_exhaustive(spark):
+    df = spark.range(3000).withColumnRenamed("id", "k")
+    train = {r["k"] for r in hash_mod_sample(df, "k", 9000, 0).collect()}
+    val = {r["k"] for r in hash_mod_sample(df, "k", 500, 9000).collect()}
+    test = {r["k"] for r in hash_mod_sample(df, "k", 500, 9500).collect()}
+    assert train.isdisjoint(val) and train.isdisjoint(test) and val.isdisjoint(test)
+    assert train | val | test == set(range(3000))
+    # rate lands near the nominal 90/5/5 (md5 is uniform)
+    assert abs(len(train) / 3000 - 0.9) < 0.03
+
+
+def test_sample_plan_is_scan_plus_filter(spark, tmp_path):
+    """Sampling must never cost more than the read: a codegen projection +
+    filter over the scan — no Exchange, no Python."""
+    path = str(tmp_path / "t")
+    spark.range(500).withColumnRenamed("id", "k").write.parquet(path)
+    df = spark.read.parquet(path)
+    plan = hash_mod_sample(df, "k", 500)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    assert "Filter" in plan
