@@ -629,6 +629,18 @@ def q_sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reproducible sampleBy: downsample the dominant language 10%, keep 40%
+    # of the tail — per-stratum rate is a CASE expression, single scan
+    from kg_obo_spark.operators.sampling import hash_mod_sample_by, sample_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    rates = {"en": 1000, "de": 4000, "es": 4000, "fr": 4000, "zh": 4000}
+    return hash_mod_sample_by(d, "doc_id", "lang", rates).select(
+        "doc_id", "lang", sample_bucket(F.col("doc_id")).alias("sample_bucket")
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher-style duplicate word-3-gram metrics per document; ratios as
     # floor-scaled e6 ints (engines agree on floor of the identical IEEE
@@ -1071,6 +1083,8 @@ _ROTATED_OUT = (
     "pivot_status",  # parked to make room for the new r5 text_repetition row
     "sessionize",  # parked to make room for the new r5 sample_hash_mod row
     # (temporal family keeps asof_join + user_session_features driver rows)
+    "publish_format_tag",  # parked for the new r5 sample_stratified row
+    # (publish family keeps index + root_index + dead_links driver rows)
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -1131,6 +1145,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
         "sample_hash_mod": q_sample_hash_mod,
+        "sample_stratified": q_sample_stratified,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
@@ -1485,6 +1500,18 @@ def all_oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                    AS BIGINT) % 10000 < 500
+        """,
+        "sample_stratified": r"""
+        WITH b AS (
+          SELECT doc_id, lang,
+                 CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 10000 AS sample_bucket
+          FROM documents
+        )
+        SELECT doc_id, lang, sample_bucket FROM b
+        WHERE sample_bucket < CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 4000
+              WHEN 'es' THEN 4000 WHEN 'fr' THEN 4000 WHEN 'zh' THEN 4000
+              ELSE 0 END
         """,
         "text_repetition": r"""
         WITH t AS (

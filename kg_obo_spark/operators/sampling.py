@@ -43,3 +43,23 @@ def hash_mod_sample(
     b = sample_bucket(F.col(key_col))
     lo, hi = offset_bp, offset_bp + rate_bp
     return df.filter((b >= F.lit(lo)) & (b < F.lit(hi)))
+
+
+def hash_mod_sample_by(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates_bp: dict[str, int],
+    default_bp: int = 0,
+) -> DataFrame:
+    """Stratified deterministic sampling (the reproducible ``sampleBy``):
+    each stratum keeps rows whose bucket < its rate (in 1/SAMPLE_MOD units);
+    unlisted strata fall back to ``default_bp``. Same determinism and
+    split-safety as :func:`hash_mod_sample` — e.g. downsample a dominant
+    language while keeping the tail whole. Still a pure codegen
+    projection + filter: the per-stratum rate is a CASE expression, not a
+    join, so the plan stays a single scan."""
+    rate = F.lit(default_bp)
+    for k, v in sorted(rates_bp.items()):
+        rate = F.when(F.col(strata_col) == F.lit(k), F.lit(v)).otherwise(rate)
+    return df.filter(sample_bucket(F.col(key_col)) < rate)

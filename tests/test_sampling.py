@@ -53,3 +53,32 @@ def test_sample_plan_is_scan_plus_filter(spark, tmp_path):
     assert "Exchange" not in plan
     assert "Python" not in plan
     assert "Filter" in plan
+
+
+def test_stratified_rates_and_determinism(spark):
+    from kg_obo_spark.operators.sampling import hash_mod_sample_by
+
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 4 == 0, "en").otherwise("de").alias("lang"),
+    )
+    rates = {"en": 2000, "de": 8000}
+    got = hash_mod_sample_by(df, "k", "lang", rates)
+    rows = got.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], set()).add(r["k"])
+    # per-stratum membership is exactly bucket < rate
+    for lang, keys in by_lang.items():
+        assert all(_py_bucket(k) < rates[lang] for k in keys)
+    n_en, n_de = len(by_lang.get("en", ())), len(by_lang.get("de", ()))
+    assert abs(n_en / 1000 - 0.2) < 0.05 and abs(n_de / 3000 - 0.8) < 0.05
+    # unlisted strata default to dropped
+    none = hash_mod_sample_by(df, "k", "lang", {"xx": 5000})
+    assert none.count() == 0
+    # partitioning-independent
+    again = {
+        (r["k"], r["lang"])
+        for r in hash_mod_sample_by(df.repartition(7), "k", "lang", rates).collect()
+    }
+    assert again == {(r["k"], r["lang"]) for r in rows}
