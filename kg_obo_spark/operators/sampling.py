@@ -39,7 +39,17 @@ def hash_mod_sample(
     """Keep rows whose key hashes into ``[offset_bp, offset_bp + rate_bp)``
     of the SAMPLE_MOD bucket space (bp = basis-point-of-10000 buckets).
     Disjoint offsets give leak-free splits: e.g. train = (9000, 0),
-    val = (500, 9000), test = (500, 9500)."""
+    val = (500, 9000), test = (500, 9500).
+
+    The window must fit inside the bucket space: an interval sticking past
+    ``SAMPLE_MOD`` silently undersamples (buckets wrap, the filter doesn't),
+    which would break the leak-free-split guarantee (ADVICE r5 low)."""
+    if not (0 <= offset_bp and 0 <= rate_bp and offset_bp + rate_bp <= SAMPLE_MOD):
+        raise ValueError(
+            f"sample window [{offset_bp}, {offset_bp + rate_bp}) outside "
+            f"[0, {SAMPLE_MOD}): rate_bp and offset_bp must be non-negative "
+            f"with offset_bp + rate_bp <= {SAMPLE_MOD}"
+        )
     b = sample_bucket(F.col(key_col))
     lo, hi = offset_bp, offset_bp + rate_bp
     return df.filter((b >= F.lit(lo)) & (b < F.lit(hi)))
@@ -59,6 +69,11 @@ def hash_mod_sample_by(
     language while keeping the tail whole. Still a pure codegen
     projection + filter: the per-stratum rate is a CASE expression, not a
     join, so the plan stays a single scan."""
+    for k, v in {**rates_bp, "<default>": default_bp}.items():
+        if not (0 <= v <= SAMPLE_MOD):
+            raise ValueError(
+                f"stratum {k!r} rate {v} outside [0, {SAMPLE_MOD}]"
+            )
     rate = F.lit(default_bp)
     for k, v in sorted(rates_bp.items()):
         rate = F.when(F.col(strata_col) == F.lit(k), F.lit(v)).otherwise(rate)

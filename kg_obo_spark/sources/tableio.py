@@ -392,18 +392,36 @@ class Table:
             from pyspark.sql import functions as F
             from pyspark.sql.types import _parse_datatype_string
 
+            # Iceberg's rule permits only WIDENING promotions (int->long,
+            # float->double; spec "Schema Evolution"). A narrowing cast under
+            # Spark's non-ANSI default silently overflows instead of failing
+            # (ADVICE r5 low), so anything else is a hard error here.
+            widening = {
+                "byte": {"short", "integer", "long"},
+                "short": {"integer", "long"},
+                "integer": {"long"},
+                "float": {"double"},
+            }
             tgt = {f.name: f.dataType for f in _parse_datatype_string(target)}
-            frames = [
-                fr.select(
-                    *[
-                        F.col(c).cast(tgt[c]).alias(c)
-                        if c in tgt and fr.schema[c].dataType != tgt[c]
-                        else F.col(c)
-                        for c in fr.columns
-                    ]
-                )
-                for fr in frames
-            ]
+
+            def _conform(fr):
+                cols = []
+                for c in fr.columns:
+                    src_t = fr.schema[c].dataType
+                    if c not in tgt or src_t == tgt[c]:
+                        cols.append(F.col(c))
+                    elif tgt[c].typeName() in widening.get(src_t.typeName(), ()):
+                        cols.append(F.col(c).cast(tgt[c]).alias(c))
+                    else:
+                        raise ValueError(
+                            f"column {c!r}: {src_t.simpleString()} in an older "
+                            f"commit cannot be narrowed to the head snapshot's "
+                            f"{tgt[c].simpleString()} (only widening promotions "
+                            f"are legal; rewrite the table to change types)"
+                        )
+                return fr.select(*cols)
+
+            frames = [_conform(fr) for fr in frames]
         return reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
         )

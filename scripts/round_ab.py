@@ -27,8 +27,13 @@ def run_bench(checkout: str) -> dict:
         text=True,
         timeout=1800,
     )
-    last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(last)
+    json_lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not json_lines:
+        raise RuntimeError(
+            f"bench in {checkout} failed (rc={out.returncode}, "
+            f"{len(json_lines)} JSON lines); stderr tail:\n{out.stderr[-2000:]}"
+        )
+    return json.loads(json_lines[-1])
 
 
 def best(results: list[dict]) -> dict:

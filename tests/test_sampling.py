@@ -82,3 +82,23 @@ def test_stratified_rates_and_determinism(spark):
         for r in hash_mod_sample_by(df.repartition(7), "k", "lang", rates).collect()
     }
     assert again == {(r["k"], r["lang"]) for r in rows}
+
+
+def test_sample_window_past_modulus_raises(spark):
+    """ADVICE r5 low: a window extending past SAMPLE_MOD silently undersamples
+    (rate 2000 at offset 9000 keeps 10%, not 20%) — reject it instead."""
+    import pytest
+
+    from kg_obo_spark.operators.sampling import hash_mod_sample_by
+
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.lit("en").alias("lang")
+    )
+    with pytest.raises(ValueError, match="window"):
+        hash_mod_sample(df, "k", rate_bp=2000, offset_bp=9000)
+    with pytest.raises(ValueError, match="window"):
+        hash_mod_sample(df, "k", rate_bp=-1)
+    with pytest.raises(ValueError, match="rate"):
+        hash_mod_sample_by(df, "k", "lang", {"en": SAMPLE_MOD + 1})
+    with pytest.raises(ValueError, match="rate"):
+        hash_mod_sample_by(df, "k", "lang", {"en": 100}, default_bp=-5)

@@ -128,3 +128,66 @@ def test_streaming_compaction_preserves_assignment(spark, tmp_path):
     assert got == {(r["id"], r["component"]) for r in full.collect()}
     assert any("compacted_dirs" in s.meta for s in t.snapshots())
     assert len(json.loads(t.latest().data_dir)) < 3
+
+
+def _foreign_modulus_registry(spark, tmp_path, n_buckets, record_meta):
+    """A compaction snapshot laid down by 'older code' whose bucket modulus
+    differs from today's REGISTRY_N_BUCKETS (ADVICE r5 medium scenario)."""
+    from pyspark.sql import functions as F
+
+    from kg_obo_spark.operators.canonicalize import (
+        REGISTRY_BUCKET_COL,
+        registry_bucket,
+    )
+
+    rows = [("x1", "x1", 0), ("x2", "x1", 0), ("y1", "y1", 0)]
+    df = spark.createDataFrame(
+        rows, "id string, component string, _epoch long"
+    ).withColumn(REGISTRY_BUCKET_COL, registry_bucket(F.col("id"), n_buckets))
+    t = Table(str(tmp_path / "out" / "canonical_assignment"))
+    meta = {"n_buckets": n_buckets} if record_meta else {}
+    t.commit(
+        df.repartition(F.col(REGISTRY_BUCKET_COL)),
+        mode="overwrite",
+        if_absent_tag="epoch-0",
+        meta=meta,
+        partition_by=[REGISTRY_BUCKET_COL],
+    )
+    return t
+
+
+def test_foreign_bucket_modulus_uses_recorded_count(spark, tmp_path):
+    """ADVICE r5 medium: a snapshot compacted under modulus 64 must be pruned
+    with 64, not today's REGISTRY_N_BUCKETS — otherwise the endpoint lookup
+    prunes away x2's live row (bucket64(x2)=43 != bucket1024(x2)=939) and
+    re-canonicalizes it as a fresh component, silently forking x1's group."""
+    from kg_obo_spark.streaming.canonical import apply_epoch, recorded_n_buckets
+
+    t = _foreign_modulus_registry(spark, tmp_path, 64, record_meta=True)
+    assert recorded_n_buckets(t) == 64
+    delta = spark.createDataFrame([("x2", "z9")], "u string, v string")
+    apply_epoch(t, delta, epoch_id=1)
+    got = {
+        (r["id"], r["component"])
+        for r in read_assignment(spark, str(tmp_path / "out")).collect()
+    }
+    assert ("z9", "x1") in got and ("x2", "x1") in got
+    # delta commit propagated the modulus: head-meta lookup stays O(1)
+    assert t.latest().meta.get("n_buckets") == 64
+
+
+def test_unversioned_bucket_snapshot_falls_back_to_full_scan(spark, tmp_path):
+    """Pre-versioning snapshot (bucketed but NO recorded n_buckets anywhere):
+    bucket pruning must be skipped entirely rather than guessed — the lookup
+    still sees every row."""
+    from kg_obo_spark.streaming.canonical import apply_epoch, recorded_n_buckets
+
+    t = _foreign_modulus_registry(spark, tmp_path, 64, record_meta=False)
+    assert recorded_n_buckets(t) is None
+    delta = spark.createDataFrame([("x2", "z9")], "u string, v string")
+    apply_epoch(t, delta, epoch_id=1)
+    got = {
+        (r["id"], r["component"])
+        for r in read_assignment(spark, str(tmp_path / "out")).collect()
+    }
+    assert ("z9", "x1") in got and ("x2", "x1") in got

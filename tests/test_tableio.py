@@ -457,3 +457,26 @@ def test_partitioned_append_chain_reads_and_prunes(spark, tmp_path):
     assert plan.count("PartitionFilters: [isnotnull(b") >= 2 or plan.count("b#") >= 2
     assert pruned.count() == 25  # ids ≡ 3 (mod 8) in [0, 200)
     assert {r["id"] % 8 for r in pruned.collect()} == {3}
+
+
+def test_type_narrowing_across_append_chain_raises(spark):
+    """ADVICE r5 low: a long -> int NARROWING (older dir long, head int) must
+    fail loudly — under Spark's non-ANSI default a silent cast would overflow
+    values instead of erroring, violating the Iceberg widening-only rule."""
+    import tempfile
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kg_obo_spark.sources.tableio import Table
+
+    t = Table(tempfile.mkdtemp())
+    t.commit(
+        spark.range(3).select(F.col("id").cast("long").alias("n")), mode="append"
+    )
+    t.commit(
+        spark.range(3, 6).select(F.col("id").cast("int").alias("n")),
+        mode="append",
+    )
+    with pytest.raises(ValueError, match="narrow"):
+        t.read(spark).collect()
