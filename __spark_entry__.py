@@ -938,7 +938,10 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_exact(emb, threshold=0.35).select("a", "b")
 
 
-# --------------------------------------------------- rows-only (non-SQL) ops
+# ------------------------------------------- formerly-rows-only heavy ops
+# (r6: pipeline_transcripts / dedup_minhash / dedup_simhash graduated to full
+# value oracles; ann_ivf and emb_near_dup_lsh stay rows-only — approximate
+# k-means/LSH structure with no SQL-expressible mirror)
 
 
 def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -976,13 +979,31 @@ def q_pipeline_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup, VALUE-oracled (VERDICT r5 next #5): the md5-window
+    signature variant feeds the PRODUCTION banding + bucket-cap + verify-join
+    code, and DuckDB mirrors the identical md5 slot arithmetic, banded
+    candidate join, and agreement fraction. bench.py still times the
+    keyed-siphash production signatures (minhash_signatures)."""
+    from kg_obo_spark.operators.dedup import minhash_signatures_md5
+
     d = _t(spark, sf_dir, "documents")
-    return minhash_near_duplicates(d, num_hashes=32, bands=8, threshold=0.3)
+    sigs = minhash_signatures_md5(d, num_hashes=8)
+    return minhash_near_duplicates(
+        d, num_hashes=8, bands=4, threshold=0.3, max_bucket=1_000_000,
+        signatures=sigs,
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup, VALUE-oracled: 60-bit md5 signature variant through
+    the PRODUCTION Hamming blocking (4 x 15-bit chunks) + bit_count verify;
+    DuckDB recomputes the same majority-vote signatures from the same text."""
+    from kg_obo_spark.operators.dedup import simhash_frame_md5
+
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(d, max_hamming=8)
+    return simhash_near_duplicates(
+        d, max_hamming=8, prefix_bits=15, sim_frame=simhash_frame_md5(d)
+    ).select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1301,6 +1322,97 @@ def all_oracle_sql() -> dict[str, str]:
         FROM isa i
         JOIN mentioned m1 ON i.subject = m1.id
         JOIN mentioned m2 ON i.object = m2.id
+        """,
+        # MinHash with the md5-window signature variant: identical slot
+        # arithmetic (min over distinct 3-shingles of 8-hex md5 windows),
+        # band-equality candidate join, agreement-fraction verify
+        "dedup_minhash": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             t -> len(t) > 0) AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+            FROM toks WHERE len(t) >= 3
+          )
+        ),
+        slot AS (
+          SELECT doc_id, i.i AS slot,
+                 min(CAST(concat('0x',
+                     substr(md5(concat(CAST(i.i // 4 AS VARCHAR), ':', s)),
+                            (i.i % 4) * 8 + 1, 8)) AS BIGINT)) AS v
+          FROM sh, generate_series(0, 7) i(i)
+          GROUP BY doc_id, i.i
+        ),
+        sig AS (
+          SELECT doc_id, array_agg(v ORDER BY slot) AS sg FROM slot GROUP BY doc_id
+        ),
+        banded AS (
+          SELECT doc_id, j.j AS band, sg[2*j.j + 1] AS s1, sg[2*j.j + 2] AS s2, sg
+          FROM sig, generate_series(0, 3) j(j)
+        ),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sg AS sa, y.sg AS sb
+          FROM banded x JOIN banded y
+            ON x.band = y.band AND x.s1 = y.s1 AND x.s2 = y.s2
+               AND x.doc_id < y.doc_id
+        )
+        SELECT a, b, est_jaccard FROM (
+          SELECT a, b,
+                 round(list_sum(list_transform(generate_series(1, 8),
+                       i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 8.0,
+                       6) AS est_jaccard
+          FROM cand
+        ) WHERE est_jaccard >= 0.3
+        """,
+        # SimHash with the 60-bit md5 signature variant: majority-vote bits,
+        # 4 x 15-bit chunk blocking, bit_count(xor) verify
+        "dedup_simhash": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             t -> len(t) > 0) AS t
+          FROM documents
+        ),
+        tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        vals AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS v
+          FROM tok
+        ),
+        bv AS (
+          SELECT doc_id, b.b AS b, sum((v >> b.b) & 1) AS ones, count(*) AS n
+          FROM vals, generate_series(0, 59) b(b)
+          GROUP BY doc_id, b.b
+        ),
+        sig0 AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN 2 * ones > n
+                          THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+                   AS simhash
+          FROM bv GROUP BY doc_id
+        ),
+        sig AS (
+          SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+          FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id
+        ),
+        blocked AS (
+          SELECT doc_id, simhash, c.c AS chunk,
+                 (simhash >> (c.c * 15)) & 32767 AS key
+          FROM sig, generate_series(0, 3) c(c)
+        ),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                 CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+          FROM blocked x JOIN blocked y
+            ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id
+        )
+        SELECT a, b, hamming FROM cand WHERE hamming <= 8
         """,
         "kg_mentions": _DOC_MENTIONS_CTE + "SELECT doc_id, term_id FROM mentions",
         "kg_comention_edges": _DOC_MENTIONS_CTE

@@ -160,6 +160,66 @@ def minhash_signatures(
     return sh.mapInPandas(gen, schema=f"{id_col} {id_type}, signature array<long>")
 
 
+def minhash_signatures_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Engine-portable MinHash signature variant (VERDICT r5 next #5): slot
+    ``i`` = min over the doc's distinct shingles of the ``i % 4``-th 8-hex
+    window of ``md5(f"{i // 4}:{shingle}")`` — pure md5 arithmetic that DuckDB
+    reproduces bit-for-bit (``CAST(concat('0x', substr(md5(...), w, 8)) AS
+    BIGINT)``), so the full LSH + verify pipeline can be VALUE-oracled, not
+    rows-only. Tokenization and shingling are identical to
+    :func:`minhash_signatures` (lower, whitespace split, distinct k-shingles;
+    docs with < k tokens drop). Production keeps the keyed-siphash
+    :func:`minhash_signatures` (vectorized C hashing, no per-shingle Python);
+    this variant is the md5-bucket sampling pattern (operators/sampling.py)
+    applied to signatures, selected only where cross-engine equality is the
+    point."""
+    import hashlib
+
+    n_salts = (num_hashes + 3) // 4
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            sig_rows: list = []
+            for rid, s in zip(pdf[id_col], pdf[text_col].astype(str)):
+                toks = s.lower().split()
+                if len(toks) < shingle_k:
+                    continue
+                shingles = dict.fromkeys(
+                    " ".join(toks[i : i + shingle_k])
+                    for i in range(len(toks) - shingle_k + 1)
+                )
+                digests = [
+                    [
+                        hashlib.md5(f"{salt}:{sh}".encode()).hexdigest()
+                        for sh in shingles
+                    ]
+                    for salt in range(n_salts)
+                ]
+                sig = [
+                    min(
+                        int(d[(i % 4) * 8 : (i % 4) * 8 + 8], 16)
+                        for d in digests[i // 4]
+                    )
+                    for i in range(num_hashes)
+                ]
+                ids.append(rid)
+                sig_rows.append(sig)
+            if ids:
+                yield pd.DataFrame({id_col: ids, "signature": sig_rows})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, signature array<long>"
+    )
+
+
 def _banded(signatures: DataFrame, id_col: str, bands: int) -> DataFrame:
     """(id, band, bucket): hash each band's signature-slice to a bucket key."""
     rows_per_band = F.floor(F.size("signature") / bands).cast("int")
@@ -259,17 +319,26 @@ def minhash_near_duplicates(
     max_bucket: int = 64,
     store=None,
     run_id: str = "minhash",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash pipeline: signatures -> LSH candidates -> verify candidates
     by estimated Jaccard (signature agreement) >= threshold.
     Returns (a, b, est_jaccard).
+
+    ``signatures`` overrides the signature stage (e.g. the SQL-oracle-able
+    :func:`minhash_signatures_md5`); the LSH banding, bucket cap, and verify
+    join downstream are the production code either way.
 
     If ``store`` (a TrackingStore) is given, bucket-truncation totals from the
     ``max_bucket`` cap are aggregated and written to the lineage table
     (stage ``minhash_lsh_truncation``: rows_in = total buckets, rows_out =
     truncated buckets, remap_count = dropped ids) so recall loss on hot
     buckets is observable."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    sigs = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    )
     # signatures feed three consumers (banding + both sides of the verify
     # join) that all meet in ONE action. Eager checkpoint guarantees the Arrow
     # signature stage runs exactly once regardless of plan shape — with lazy /
@@ -395,17 +464,101 @@ def simhash_frame(
     )
 
 
+def simhash_frame_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 60,
+) -> DataFrame:
+    """Engine-portable SimHash variant (VERDICT r5 next #5): token value =
+    first 15 hex chars of md5(token) (60 bits, inside BIGINT range in both
+    engines), bit ``b`` of the signature set iff a strict majority of the
+    doc's tokens (with multiplicity) have bit ``b`` set — identical to
+    :func:`simhash_frame`'s majority rule, with md5 instead of keyed siphash
+    so DuckDB computes the same signature from the same text. Docs with zero
+    tokens keep signature 0, matching the production frame. The bit votes are
+    still vectorized numpy (chunked unpack + reduceat); only the base hash is
+    per-distinct-token Python md5."""
+    import hashlib
+
+    def sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunk_tokens = 20_000
+        shifts = np.arange(n_bits, dtype=np.uint64)
+        for pdf in batches:
+            tok_lists = [s.lower().split() for s in pdf[text_col].astype(str)]
+            counts = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+            )
+            out = np.zeros(len(pdf), dtype=np.int64)
+            keep = counts > 0
+            if keep.any():
+                flat = np.concatenate(
+                    [np.asarray(t, dtype=object) for t in tok_lists if t]
+                )
+                uniq, inv = np.unique(flat, return_inverse=True)
+                vals = np.fromiter(
+                    (
+                        int(hashlib.md5(u.encode()).hexdigest()[:15], 16)
+                        for u in uniq
+                    ),
+                    dtype=np.uint64,
+                    count=len(uniq),
+                )
+                hs = vals[inv]
+                kept_counts = counts[keep]
+                n_kept = len(kept_counts)
+                offsets = np.zeros(n_kept, dtype=np.int64)
+                np.cumsum(kept_counts[:-1], out=offsets[1:])
+                bounds = np.concatenate([offsets, [len(flat)]])
+                sigs = np.empty(n_kept, dtype=np.int64)
+                start = 0
+                while start < n_kept:
+                    end = start
+                    while (
+                        end < n_kept
+                        and bounds[end + 1] - bounds[start] <= chunk_tokens
+                    ):
+                        end += 1
+                    end = max(end, start + 1)
+                    sl = slice(bounds[start], bounds[end])
+                    bits = ((hs[sl, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                        np.int32
+                    )
+                    ones = np.add.reduceat(
+                        bits, offsets[start:end] - bounds[start], axis=0,
+                    )
+                    majority = (2 * ones) > kept_counts[start:end, None]
+                    sigs[start:end] = (
+                        (majority.astype(np.uint64) << shifts[None, :])
+                        .sum(axis=1)
+                        .astype(np.int64)
+                    )
+                    start = end
+                out[keep] = sigs
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        sim, schema=f"{id_col} {id_type}, simhash long"
+    )
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
     prefix_bits: int = 16,
+    sim_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dups by simhash Hamming distance <= max_hamming. Blocking: bucket
-    by each of the 4 16-bit chunks (a pair within distance 3 must agree on at
-    least one chunk — pigeonhole), then verify with bit_count(xor)."""
-    sh = simhash_frame(df, id_col, text_col)
+    by each of the 64 // prefix_bits chunks (a pair within distance
+    n_chunks - 1 must agree on at least one chunk — pigeonhole), then verify
+    with bit_count(xor). ``sim_frame`` overrides the signature stage (e.g.
+    the SQL-oracle-able :func:`simhash_frame_md5` with prefix_bits=15 over
+    its 60-bit signatures); blocking and verification are the production
+    code either way."""
+    sh = sim_frame if sim_frame is not None else simhash_frame(df, id_col, text_col)
     mask = (1 << prefix_bits) - 1
     chunks = F.explode(
         F.array(
