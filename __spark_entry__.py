@@ -721,6 +721,67 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher 2..4-gram repetition family in one single-exchange
+    pass (VERDICT r5 next #6); same floor-e6 ratio discipline as
+    text_repetition."""
+    from kg_obo_spark.functions.text import ngram_repetition_family
+
+    d = _t(spark, sf_dir, "documents")
+    r = ngram_repetition_family(d, ns=(2, 3, 4))
+    return r.select(
+        "doc_id",
+        "n",
+        "n_grams",
+        "n_distinct_grams",
+        F.floor(F.col("dup_gram_frac") * 1e6).cast("long").alias("dup_gram_frac_e6"),
+        F.floor(F.col("dup_gram_char_frac") * 1e6)
+        .cast("long")
+        .alias("dup_char_frac_e6"),
+        F.floor(F.col("top_gram_char_frac") * 1e6)
+        .cast("long")
+        .alias("top_char_frac_e6"),
+    )
+
+
+def q_text_repetition_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-line metrics (VERDICT r5 next #6). The corpus text is
+    single-line, so the contract reshapes it deterministically into 2-token
+    lines (trailing odd token keeps its own line) before the operator — the
+    oracle builds the identical lines from the token list. Real multi-line
+    corpora call line_repetition_stats directly."""
+    from kg_obo_spark.functions.text import line_repetition_stats, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_lines = F.ceil(F.size(toks) / 2).cast("int")
+    line_arr = F.transform(
+        F.sequence(F.lit(1), n_lines),
+        lambda i: F.when(
+            i * 2 <= F.size(toks),
+            F.concat_ws(
+                " ", F.element_at(toks, i * 2 - 1), F.element_at(toks, i * 2)
+            ),
+        ).otherwise(F.element_at(toks, i * 2 - 1)),
+    )
+    reshaped = d.select(
+        "doc_id",
+        F.when(F.size(toks) > 0, F.array_join(line_arr, "\n"))
+        .otherwise(F.lit(""))
+        .alias("text"),
+    )
+    r = line_repetition_stats(reshaped)
+    return r.select(
+        "doc_id",
+        "n_lines",
+        "n_distinct_lines",
+        F.floor(F.col("dup_line_frac") * 1e6).cast("long").alias("dup_line_frac_e6"),
+        F.floor(F.col("dup_line_char_frac") * 1e6)
+        .cast("long")
+        .alias("dup_char_frac_e6"),
+    )
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
@@ -1156,29 +1217,32 @@ def q_publish_dead_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_QUERY_CAP = 50
 
 _ROTATED_OUT = (
-    # --- r5 parked set (alternating schedule: every oracled query gets a
+    # --- r6 parked set (alternating schedule: every oracled query gets a
     # driver row at least every other round). Every entry below is green
-    # rows+schema+hash in CORRECTNESS_r04 (and r1/r2 before); still swept by
-    # the local parity harness + test_entry_contract.py::test_rotated_parity.
-    # The r4-parked set (q1/q10/revenue_by_segment/p1/p2/p4/j1/j4/a7/s5/
-    # window_latest/text_lang_id) rotates back into the driver window here.
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_revenue_by_nation",
-    "q7_volume_shipping",
-    "p3_version_validation",
-    "a10_distinct_namespaces",
-    "a12_dedup_rows",
-    "a14_format_fanout",
-    "text_token_count",
-    "json_extract",
-    "emb_norm_stats",
-    "cube_revenue",
-    "pivot_status",  # parked to make room for the new r5 text_repetition row
-    "sessionize",  # parked to make room for the new r5 sample_hash_mod row
-    # (temporal family keeps asof_join + user_session_features driver rows)
-    "publish_format_tag",  # parked for the new r5 sample_stratified row
-    # (publish family keeps index + root_index + dead_links driver rows)
+    # rows+schema+hash in CORRECTNESS_r05; still swept by the local parity
+    # harness + test_entry_contract.py::test_rotated_parity. The r5-parked
+    # set (q3/q4/q5/q7, p3, a10/a12/a14, text_token_count, json_extract,
+    # emb_norm_stats, cube_revenue, pivot_status, sessionize,
+    # publish_format_tag) rotates back into the driver window here; two
+    # extra slots are parked for the new r6 rows text_repetition_ngrams and
+    # text_repetition_lines.
+    "q1_pricing_summary",
+    "q10_returned_items",
+    "revenue_by_segment",
+    "p1_filter_isin",
+    "p2_illegal_chars",
+    "p4_category_rewrite",
+    "p8_prefix_capitalize",
+    "j1_broadcast_remap",
+    "j4_version_selfjoin",
+    "j6_anti_join",
+    "a7_group_collect",
+    "s5_extract_all_explode",
+    "window_latest",
+    "text_lang_id",
+    "text_repetition",  # the n=3 row; the new 2..4-gram family row covers it
+    "sample_hash_mod",
+    "sample_stratified",
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -1238,6 +1302,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
+        "text_repetition_ngrams": q_text_repetition_ngrams,
+        "text_repetition_lines": q_text_repetition_lines,
         "sample_hash_mod": q_sample_hash_mod,
         "sample_stratified": q_sample_stratified,
         "text_lang_id": q_text_lang_id,
@@ -1750,7 +1816,10 @@ def all_oracle_sql() -> dict[str, str]:
         """,
         "text_repetition": r"""
         WITH t AS (
-          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> len(x) > 0) AS ts
+          FROM documents
         ), g AS (
           SELECT doc_id,
                  unnest(list_transform(generate_series(1, len(ts) - 2),
@@ -1769,6 +1838,61 @@ def all_oracle_sql() -> dict[str, str]:
                           / SUM(cnt * glen) * 1e6) AS BIGINT) AS dup_char_frac_e6,
                CAST(floor(MAX(cnt * glen) * 1.0
                           / SUM(cnt * glen) * 1e6) AS BIGINT) AS top_char_frac_e6
+        FROM c GROUP BY doc_id
+        """,
+        "text_repetition_ngrams": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> len(x) > 0) AS ts
+          FROM documents
+        ), g AS (
+          SELECT doc_id, nn.n AS n,
+                 unnest(list_transform(generate_series(1, len(ts) - nn.n + 1),
+                        i -> array_to_string(list_slice(ts, i, i + nn.n - 1),
+                                             ' '))) AS gram
+          FROM t, (VALUES (2), (3), (4)) nn(n)
+          WHERE len(ts) >= nn.n
+        ), c AS (
+          SELECT doc_id, n, gram, COUNT(*) AS cnt, LENGTH(gram) AS glen
+          FROM g GROUP BY doc_id, n, gram
+        )
+        SELECT doc_id, n,
+               CAST(SUM(cnt) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+               CAST(floor((1.0 - COUNT(*) * 1.0 / SUM(cnt)) * 1e6) AS BIGINT)
+                 AS dup_gram_frac_e6,
+               CAST(floor(SUM(CASE WHEN cnt > 1 THEN cnt * glen ELSE 0 END) * 1.0
+                          / SUM(cnt * glen) * 1e6) AS BIGINT) AS dup_char_frac_e6,
+               CAST(floor(MAX(cnt * glen) * 1.0
+                          / SUM(cnt * glen) * 1e6) AS BIGINT) AS top_char_frac_e6
+        FROM c GROUP BY doc_id, n
+        """,
+        "text_repetition_lines": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> len(x) > 0) AS ts
+          FROM documents
+        ), l AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                        generate_series(1, CAST(ceil(len(ts) / 2.0) AS BIGINT)),
+                        i -> CASE WHEN 2 * i <= len(ts)
+                                  THEN ts[2*i - 1] || ' ' || ts[2*i]
+                                  ELSE ts[2*i - 1] END)) AS line
+          FROM t WHERE len(ts) > 0
+        ), c AS (
+          SELECT doc_id, line, COUNT(*) AS cnt, LENGTH(line) AS llen
+          FROM l GROUP BY doc_id, line
+        )
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_lines,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_lines,
+               CAST(floor((1.0 - COUNT(*) * 1.0 / SUM(cnt)) * 1e6) AS BIGINT)
+                 AS dup_line_frac_e6,
+               CAST(floor(SUM(CASE WHEN cnt > 1 THEN cnt * llen ELSE 0 END) * 1.0
+                          / SUM(cnt * llen) * 1e6) AS BIGINT) AS dup_char_frac_e6
         FROM c GROUP BY doc_id
         """,
         "text_quality": r"""

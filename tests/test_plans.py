@@ -288,3 +288,33 @@ def test_ngram_repetition_single_exchange(spark):
     assert "hashpartitioning(id" in plan
     got = {x["doc_id"]: x["n_grams"] for x in r.collect()}
     assert got == {1: 2, 2: 3}
+
+
+def test_ngram_family_and_line_repetition_single_exchange(spark):
+    """r6 family extensions keep the one-shuffle shape: the 2..4-gram family
+    rides the shared window's HashPartitioning(id) through both aggregations
+    (grouping keys are supersets of id); line stats get the same property
+    from an explicit repartition(id)."""
+    from kg_obo_spark.functions.text import (
+        line_repetition_stats,
+        ngram_repetition_family,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y x y x")], "doc_id long, text string"
+    )
+    fam = ngram_repetition_family(df, ns=(2, 3, 4))
+    plan = _plan(fam)
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(id" in plan
+    got = {(x["doc_id"], x["n"]): x["n_grams"] for x in fam.collect()}
+    assert got == {(1, 2): 3, (1, 3): 2, (1, 4): 1, (2, 2): 4, (2, 3): 3, (2, 4): 2}
+
+    ldf = spark.createDataFrame(
+        [(1, "a b\nc d\na b\n\n  "), (2, "solo")], "doc_id long, text string"
+    )
+    lr = line_repetition_stats(ldf)
+    lplan = _plan(lr)
+    assert lplan.count("Exchange") == 1
+    rows = {x["doc_id"]: (x["n_lines"], x["n_distinct_lines"]) for x in lr.collect()}
+    assert rows == {1: (3, 2), 2: (1, 1)}

@@ -192,7 +192,9 @@ def test_fastscan_fuzz_equals_regex_find(rows, joiner, best_only, level):
 )
 def test_ngram_repetition_matches_python(spark, docs):
     """Distributed dup/top n-gram metrics equal a Counter-based reference on
-    arbitrary token lists (incl. empty tokens from doubled separators)."""
+    arbitrary token lists. Doubled separators collapse: the operator uses the
+    tokens() whitespace-run model (r6 tokenizer unification), mirrored here
+    by str.split()."""
     from collections import Counter
 
     from kg_obo_spark.functions.text import ngram_repetition_stats
@@ -211,7 +213,7 @@ def test_ngram_repetition_matches_python(spark, docs):
     }
     want = {}
     for doc_id, text in rows:
-        ts = text.split(" ")  # mirrors the operator: plain single-space split
+        ts = text.split()  # mirrors the operator: tokens() whitespace-run model
         grams = [" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)]
         if not grams:
             continue

@@ -86,7 +86,7 @@ def test_ngram_repetition_stats_vs_python(spark):
 
     want = {}
     for doc_id, text in rows:
-        ts = text.split(" ")
+        ts = text.split()
         grams = [" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)]
         if not grams or len(ts) < 3:
             continue
