@@ -77,6 +77,21 @@ def get_spark(
             "spark.driver.extraJavaOptions", f"-Dderby.system.home={warehouse}"
         )
     )
+    # Shuffle/spill scratch on tmpfs when available: shuffle-file creation on
+    # the sandbox's ext4 /tmp serializes kernel-side (journal + dirty-page
+    # writeback) once many threads/JVMs write concurrently — measured 2-3x on
+    # 4 concurrent local[8] pipelines (7-9 s -> 3.6-4.3 s per worker,
+    # BENCH/MULTIPROC_SCALING.md) and it was the root cause of the
+    # long-attributed eff(8->32) collapse. tmpfs has no journal, so file
+    # creation scales with cores. On a real cluster this is the standard
+    # "put spark.local.dir on fast local disks/ramdisk" deployment knob;
+    # SPARK_LOCAL_DIRS (standard Spark env) still takes precedence.
+    if "SPARK_LOCAL_DIRS" not in os.environ:
+        shm = os.environ.get("SPARK_GRAFT_SHM_DIR", "/dev/shm")
+        if os.path.isdir(shm) and os.access(shm, os.W_OK):
+            local_root = os.path.join(shm, "kg_obo_spark_local")
+            os.makedirs(local_root, exist_ok=True)
+            builder = builder.config("spark.local.dir", local_root)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -190,6 +190,7 @@ class Table:
         if_absent_tag: str | None = None,
         partition_by: list[str] | None = None,
         expected_parent_id: str | None = None,
+        write_options: dict[str, str] | None = None,
     ) -> Snapshot | None:
         """Write ``df`` as a new committed snapshot.
 
@@ -199,7 +200,10 @@ class Table:
         the idempotent-publish semantics.
         ``partition_by``: hive-style directory partitioning — readers filtering
         on those columns get partition pruning (the Iceberg partition-spec
-        analog; see test_tableio.py::test_partitioned_commit_prunes)."""
+        analog; see test_tableio.py::test_partitioned_commit_prunes).
+        ``write_options``: extra parquet writer options (e.g. per-column
+        bloom filters: ``parquet.bloom.filter.enabled#id``) — the Iceberg
+        write-properties analog."""
         base_meta = dict(meta or {})
         if if_absent_tag is not None:
             if self.has_tag(if_absent_tag):
@@ -212,6 +216,8 @@ class Table:
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
+        if write_options:
+            writer = writer.options(**write_options)
         writer.parquet(data_dir)
         # row count from parquet footers — metadata-only, never a second scan
         # of the data just written (the old read().count() re-read everything)
