@@ -576,17 +576,21 @@ def run_scaling(reps: int = 3, levels: tuple[int, ...] = (2, 8, 32)) -> None:
             f" (target >= 0.8 per BASELINE.json north_rule).\n\n"
             f"local[8] -> local[32] efficiency = {eff_8_32:.3f}. The 32-thread\n"
             "level is reported for transparency but is not a valid scaling\n"
-            "probe on this VM: measurements show (a) intermittent multi-x\n"
-            "whole-VM stalls (hypervisor steal up to 8%), and (b) a kernel-\n"
-            "level shuffle-file I/O serialization at high thread counts —\n"
-            "fixed partly by forcing the sort-based shuffle writer\n"
-            "(spark.shuffle.sort.bypassMergeThreshold=0, a 4-6x win at 32\n"
-            "threads, see session.py) and by right-sizing the driver heap\n"
-            "(48g G1 added seconds of GC latency per small shuffle vs 12g).\n"
-            "Pure-userspace CPU scales to 25.5x at 32 procs on this box, so\n"
-            "the limit is the VM's kernel/I-O path, not the engine's plan\n"
-            "shape: every stage is embarrassingly parallel or a single hash\n"
-            "shuffle with map-side partial aggregation.\n"
+            "probe on this VM: the r6 forensics (BENCH/MULTIPROC_SCALING.md)\n"
+            "measured a 1.1-1.8x PER-CORE slowdown from load alone — a\n"
+            "register-only ALU loop on a pinned core slows that much when\n"
+            "the other 31 cores are busy vs 7 (host DVFS/all-core turbo or\n"
+            "hypervisor vCPU time-slicing; steal% reads ~0) — a hard\n"
+            "ceiling of ~0.55-0.9 for ANY 8->32 comparison here,\n"
+            "load-window-dependent. Software-side serialization found in\n"
+            "earlier rounds is engineered out: sort-based shuffle writer\n"
+            "(bypassMergeThreshold=0), 12g heap, and since r6 tmpfs\n"
+            "spark.local.dir (the journaled ext4 /tmp serialized concurrent\n"
+            "shuffle-file creation 2-3x — session.py). The 4 x local[8]\n"
+            "multi-process executor emulation evidences the same upper leg\n"
+            "with the hardware bound made explicit; every engine stage is\n"
+            "embarrassingly parallel or a single hash shuffle with map-side\n"
+            "partial aggregation.\n"
         )
 
 
