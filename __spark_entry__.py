@@ -5,9 +5,12 @@ synthetic transcripts (the BASELINE.json input_hint table) and returns the KGX
 edge frame. ``queries()`` exposes every SQL-expressible operator from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup / similarity /
 text analysis / multimodal plumbing) over the driver's parquet tables;
-``oracle_sql()`` gives the DuckDB mirror for each. Non-SQL-expressible ops
-(trie extraction at scale, MinHash/SimHash, IVF, iterative CC at scale) are
-rows-only entries.
+``oracle_sql()`` gives the DuckDB mirror for each. Since r6 EVERY entry is
+value-oracled — zero rows-only: the approximate/hash-structured ops
+(MinHash/SimHash/LSH/IVF, the flagship pipeline) run their PRODUCTION
+banding/blocking/assign/verify code over engine-portable deterministic
+variants (md5-window signatures, literal md5-sign hyperplanes, md5-ordered
+seed centroids) that DuckDB reproduces bit-for-bit.
 
 Column-name & float discipline: every computed column is aliased identically
 on both sides; floating aggregates are rounded (2-6 dp) on both sides so
@@ -1000,17 +1003,42 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------- formerly-rows-only heavy ops
-# (r6: pipeline_transcripts / dedup_minhash / dedup_simhash graduated to full
-# value oracles; ann_ivf and emb_near_dup_lsh stay rows-only — approximate
-# k-means/LSH structure with no SQL-expressible mirror)
+# (r6: ALL graduated to full value oracles — pipeline_transcripts /
+# dedup_minhash / dedup_simhash via md5-window signatures, ann_ivf via
+# md5-ordered seed centroids, emb_near_dup_lsh via literal md5-sign
+# hyperplanes. Zero rows-only entries remain anywhere in the contract.)
+
+_LSH_N_PLANES = 16
+_LSH_PREFIX_BITS = 4
+_EMB_DIM = 64
 
 
 def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH near-dup (scale path) — approximate, rows-only check."""
-    from kg_obo_spark.operators.similarity import embedding_near_dup_lsh
+    """Hyperplane-LSH near-dup (scale path), VALUE-oracled (r6): literal
+    ±1 md5-sign planes (:func:`md5_sign_planes`) feed the PRODUCTION
+    blocking + bucket-cap + cosine-verify chain via the ``signatures=``
+    override; DuckDB recomputes every signature bit with ``list_dot_product``
+    against the same plane literals (bit-exact vs Spark's fold — measured)
+    and mirrors the chunk join + verify. bench.py keeps timing the
+    splitmix64-numpy production signatures."""
+    from kg_obo_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+        hyperplane_signature_literal,
+        md5_sign_planes,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_lsh(emb, threshold=0.35, prefix_bits=4)
+    sigs = hyperplane_signature_literal(
+        emb, md5_sign_planes(_LSH_N_PLANES, _EMB_DIM)
+    )
+    return embedding_near_dup_lsh(
+        emb,
+        threshold=0.35,
+        n_planes=_LSH_N_PLANES,
+        prefix_bits=_LSH_PREFIX_BITS,
+        max_bucket=1_000_000,
+        signatures=sigs,
+    ).select("a", "b")
 
 
 def q_pipeline_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1068,11 +1096,24 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k, VALUE-oracled (r6): md5-ordered seed centroids
+    (:func:`deterministic_centroids_md5`) feed the PRODUCTION assign → probe
+    → top-k chain via the ``centroids=`` override; the DuckDB oracle
+    reproduces the centroid selection (same md5 hex ordering), the argmax
+    assignment, the nprobe probe, and the final ranking with an explicit
+    ``list_dot_product`` cosine (bit-exact vs Spark's fold — the built-in
+    ``list_cosine_similarity`` differs on self-pairs, so the oracle spells
+    out dot/(|a||b|)). Production keeps xxhash64 seeds + Lloyd refinement."""
+    from kg_obo_spark.operators.similarity import deterministic_centroids_md5
+
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3)
+    cents = deterministic_centroids_md5(emb, n_centroids=8)
+    return ivf_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=3, centroids=cents
+    ).select("query_id", "neighbor_id", "rank")
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1335,6 +1376,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {k: v for k, v in all_queries().items() if k not in _ROTATED_OUT}
     assert len(qs) <= DRIVER_QUERY_CAP, f"registry {len(qs)} > cap {DRIVER_QUERY_CAP}"
     return qs
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Explicit cosine for the oracles: DuckDB's list_dot_product is bit-exact
+    vs Spark's zip_with/aggregate left-fold (measured 500/500 at sf0.01), while
+    list_cosine_similarity clamps self-pairs (1.0 vs 1.0000000000000002) — so
+    ordering-sensitive oracles (IVF argmax/probe) must spell out dot/(|a||b|)."""
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _lsh_signature_sql(col: str) -> str:
+    """The DuckDB mirror of hyperplane_signature_literal over md5_sign_planes:
+    bit j set iff dot(v, plane_j) > 0, planes embedded as SQL literals."""
+    from kg_obo_spark.operators.similarity import md5_sign_planes
+
+    terms = []
+    for j, p in enumerate(md5_sign_planes(_LSH_N_PLANES, _EMB_DIM)):
+        lit = "[" + ", ".join("1.0" if x > 0 else "-1.0" for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({col}, {lit}) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    return "CAST(" + "\n             + ".join(terms) + " AS BIGINT)"
 
 
 def all_oracle_sql() -> dict[str, str]:
@@ -2217,6 +2284,88 @@ def all_oracle_sql() -> dict[str, str]:
         FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
         WHERE round(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
                                            CAST(e2.embedding AS DOUBLE[])), 6) >= 0.35
+        """,
+        # hyperplane-LSH mirrored bit by bit: same literal md5-sign planes,
+        # same chunk blocking ((sig >> 4*chunk) & 15), same a<b candidate
+        # join + DISTINCT, same rounded-cosine verify (max_bucket is 1e6 in
+        # the contract query so the cap slice never truncates)
+        "emb_near_dup_lsh": f"""
+        WITH vecs AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        sigs AS (
+          SELECT vec_id, {_lsh_signature_sql("v")} AS signature FROM vecs
+        ),
+        blocked AS (
+          SELECT vec_id, chunk,
+                 (signature >> (chunk * {_LSH_PREFIX_BITS})) &
+                 {(1 << _LSH_PREFIX_BITS) - 1} AS key
+          FROM sigs
+          CROSS JOIN (SELECT unnest(range({_LSH_N_PLANES // _LSH_PREFIX_BITS}))
+                      AS chunk) c
+        ),
+        cand AS (
+          SELECT DISTINCT b1.vec_id AS a, b2.vec_id AS b
+          FROM blocked b1 JOIN blocked b2
+            ON b1.chunk = b2.chunk AND b1.key = b2.key
+               AND b1.vec_id < b2.vec_id
+        )
+        SELECT c.a, c.b
+        FROM cand c
+        JOIN vecs va ON va.vec_id = c.a
+        JOIN vecs vb ON vb.vec_id = c.b
+        WHERE round({_cos_sql("va.v", "vb.v")}, 6) >= 0.35
+        """,
+        # IVF mirrored stage by stage: md5-hex centroid selection (same
+        # ordering as Spark's orderBy(md5(id), id).limit(8), renumbered in id
+        # order), argmax assignment (csim DESC, centroid_id ASC — the struct
+        # array_max tie-break), nprobe=3 probe, rounded-sim top-5 ranking
+        "ann_ivf": f"""
+        WITH sel AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+        ),
+        cents AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER)
+                 AS centroid_id, cv
+          FROM sel
+        ),
+        vecs AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        assign AS (
+          SELECT vec_id, v, centroid_id FROM (
+            SELECT x.vec_id, x.v, c.centroid_id,
+                   row_number() OVER (
+                     PARTITION BY x.vec_id
+                     ORDER BY {_cos_sql("x.v", "c.cv")} DESC,
+                              c.centroid_id ASC) AS rn
+            FROM vecs x CROSS JOIN cents c) t
+          WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 3),
+        qcells AS (
+          SELECT query_id, qv, centroid_id FROM (
+            SELECT q.query_id, q.qv, c.centroid_id,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY {_cos_sql("q.qv", "c.cv")} DESC,
+                              c.centroid_id ASC) AS rn
+            FROM q CROSS JOIN cents c) t
+          WHERE rn <= 3
+        ),
+        scored AS (
+          SELECT qc.query_id, a.vec_id AS neighbor_id,
+                 round({_cos_sql("a.v", "qc.qv")}, 6) AS sim
+          FROM assign a JOIN qcells qc ON a.centroid_id = qc.centroid_id
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM scored) t
+        WHERE rank <= 5
         """,
     }
 

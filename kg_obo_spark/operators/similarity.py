@@ -131,6 +131,49 @@ def random_hyperplane_signature(
     )
 
 
+def md5_sign_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane sign matrix from md5 — no RNG, engine-
+    portable: plane ``j`` dimension ``d`` is +1 when the first hex nibble of
+    ``md5(f"{j}:{d}")`` is even, else -1. Shared by the Spark literal-plane
+    signature (:func:`hyperplane_signature_literal`) and the DuckDB oracle
+    builder (the planes are embedded as SQL literals), so both engines compute
+    the identical ordered dot products — the sampling-pattern analog
+    (operators/sampling.py) applied to LSH hyperplanes."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for d in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def hyperplane_signature_literal(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, signature long): sign-of-dot-product bits against caller-supplied
+    literal hyperplanes — pure JVM codegen (``zip_with`` + ``aggregate`` per
+    plane), no Python stage. The cross-engine-verifiable variant of
+    :func:`random_hyperplane_signature`: with :func:`md5_sign_planes` the
+    DuckDB oracle reproduces every bit via ``list_dot_product`` against the
+    same literals (bit-exact vs Spark's left-fold — measured). Production
+    keeps the splitmix64 numpy path; this one is selected where cross-engine
+    equality is the point (the contract query)."""
+    sig = None
+    for j, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        bit = (dot(F.col(vec_col), arr) > 0).cast("long") * F.lit(1 << j)
+        sig = bit if sig is None else sig + bit
+    return embeddings.select(F.col(id_col), sig.alias("signature"))
+
+
 def _lsh_blocked(
     sigs: DataFrame, n_planes: int, prefix_bits: int, id_col: str
 ) -> DataFrame:
@@ -189,6 +232,7 @@ def embedding_near_dup_lsh(
     max_bucket: int = 256,
     store=None,
     run_id: str = "emb_lsh",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs: hyperplane-LSH chunk blocking -> exact
     cosine verify on candidates only. Same output shape as the exact variant;
@@ -196,8 +240,16 @@ def embedding_near_dup_lsh(
 
     Hot buckets are capped at ``max_bucket`` ids so one degenerate bucket
     can't go quadratic; pass ``store`` (TrackingStore) to write truncation
-    totals to the lineage table (stage ``emb_lsh_truncation``)."""
-    sigs = random_hyperplane_signature(embeddings, n_planes, id_col, vec_col)
+    totals to the lineage table (stage ``emb_lsh_truncation``). Pass
+    ``signatures`` (id, signature long — e.g.
+    :func:`hyperplane_signature_literal`) to override the splitmix64 numpy
+    signatures; blocking, cap, and verify are identical either way (the
+    minhash ``signatures=`` pattern, dedup.py)."""
+    sigs = (
+        signatures
+        if signatures is not None
+        else random_hyperplane_signature(embeddings, n_planes, id_col, vec_col)
+    )
     blocked = _lsh_blocked(sigs, n_planes, prefix_bits, id_col)
     if store is not None:
         tr = (
@@ -313,6 +365,44 @@ def deterministic_centroids(
     small = (
         embeddings.select(
             F.xxhash64(F.col(id_col).cast("string")).alias("_h"),
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+        .orderBy("_h", "_id")
+        .limit(n_centroids)
+    )
+    rows = sorted(small.collect(), key=lambda r: r["_id"])
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    vec_type = embeddings.schema[vec_col].dataType
+    schema = StructType(
+        [
+            StructField("centroid_id", IntegerType(), False),
+            StructField("centroid_vec", vec_type, True),
+        ]
+    )
+    return embeddings.sparkSession.createDataFrame(
+        [(i + 1, r["centroid_vec"]) for i, r in enumerate(rows)], schema
+    )
+
+
+def deterministic_centroids_md5(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Engine-portable seed-centroid variant: identical selection shape to
+    :func:`deterministic_centroids` (distributed TakeOrderedAndProject,
+    renumbered in id order) but ordered by ``md5(CAST(id AS STRING))`` instead
+    of ``xxhash64`` — DuckDB's ``md5(CAST(id AS VARCHAR))`` produces the same
+    lowercase-hex ordering, so an oracle can reproduce the exact centroid set
+    and the whole IVF assign/probe/top-k chain becomes value-verifiable.
+    Production keeps :func:`deterministic_centroids` (xxhash64 is a cheaper
+    codegen hash); this is the contract-query variant."""
+    small = (
+        embeddings.select(
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("centroid_vec"),
         )

@@ -79,6 +79,11 @@ def test_every_query_has_callable_and_runs_registered():
     alls = entrymod.all_queries()
     assert set(qs) < set(alls)
     assert set(entrymod.all_oracle_sql()) <= set(alls)
+    # r6 graduation: EVERY registry entry is value-oracled — a new rows-only
+    # entry is a regression (add an engine-portable variant instead; see
+    # minhash_signatures_md5 / hyperplane_signature_literal /
+    # deterministic_centroids_md5)
+    assert set(entrymod.all_oracle_sql()) == set(alls)
 
 
 @pytest.mark.parametrize("name", sorted(entrymod._ROTATED_OUT))

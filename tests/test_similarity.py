@@ -98,6 +98,83 @@ def test_lsh_near_dup_recall(spark):
     assert (0, 100) in approx  # identical-direction pair always collides
 
 
+def test_hyperplane_signature_literal_matches_python(spark):
+    """The codegen literal-plane signature equals a plain-Python reference —
+    bit j set iff the ordered dot product against md5_sign_planes[j] > 0."""
+    from kg_obo_spark.operators.similarity import (
+        hyperplane_signature_literal,
+        md5_sign_planes,
+    )
+
+    dim, n_planes = 8, 16
+    emb = _emb(spark, n=25, dim=dim)
+    planes = md5_sign_planes(n_planes, dim)
+    got = {
+        r["vec_id"]: r["signature"]
+        for r in hyperplane_signature_literal(emb, planes).collect()
+    }
+    for i, vec, _ in emb.collect():
+        want = sum(
+            (1 << j)
+            for j, p in enumerate(planes)
+            if sum(float(v) * s for v, s in zip(vec, p)) > 0
+        )
+        assert got[i] == want
+    # the sign matrix itself is a pure function of (n_planes, dim)
+    assert planes == md5_sign_planes(n_planes, dim)
+    assert all(abs(s) == 1.0 for row in planes for s in row)
+
+
+def test_lsh_signature_override_same_machinery(spark):
+    """embedding_near_dup_lsh(signatures=...) drives the identical blocking +
+    verify chain: pairs are exact-verified (subset of the exact variant) and
+    a planted identical-direction pair always collides in every chunk."""
+    import math
+
+    from kg_obo_spark.operators.similarity import (
+        hyperplane_signature_literal,
+        md5_sign_planes,
+    )
+
+    dim = 8
+    base = [math.sin(j) for j in range(dim)]
+    rows = [(0, base, 0), (100, [v * 2.0 for v in base], 0)]
+    rows += [(i, [math.sin(i * dim + j) for j in range(dim)], 1) for i in range(1, 60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    sigs = hyperplane_signature_literal(emb, md5_sign_planes(16, dim))
+    approx = {
+        (r["a"], r["b"])
+        for r in embedding_near_dup_lsh(
+            emb, threshold=0.99, n_planes=16, prefix_bits=4, signatures=sigs
+        ).collect()
+    }
+    exact = {
+        (r["a"], r["b"])
+        for r in embedding_near_dup_exact(emb, threshold=0.99).collect()
+    }
+    assert approx <= exact
+    assert (0, 100) in approx  # same direction -> same bits in every plane
+
+
+def test_deterministic_centroids_md5_matches_selection_contract(spark):
+    """md5-ordered seeds: the n vectors with smallest md5(id) hex, renumbered
+    in id order — the SQL-mirrorable analog of deterministic_centroids."""
+    import hashlib
+
+    from kg_obo_spark.operators.similarity import deterministic_centroids_md5
+
+    emb = _emb(spark, n=40)
+    cents = deterministic_centroids_md5(emb, n_centroids=6).collect()
+    want_ids = sorted(
+        sorted(range(40), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:6]
+    )
+    got = {r["centroid_id"]: r["centroid_vec"] for r in cents}
+    assert sorted(got) == [1, 2, 3, 4, 5, 6]
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for cid, vid in enumerate(want_ids, start=1):
+        assert got[cid] == vecs[vid]
+
+
 def test_emb_lsh_bucket_truncation_surfaced(spark, tmp_path):
     # identical vectors all land in the same buckets; a tiny max_bucket cap
     # must surface non-zero truncation stats and write a lineage row
