@@ -1382,7 +1382,14 @@ def _cos_sql(a: str, b: str) -> str:
     """Explicit cosine for the oracles: DuckDB's list_dot_product is bit-exact
     vs Spark's zip_with/aggregate left-fold (measured 500/500 at sf0.01), while
     list_cosine_similarity clamps self-pairs (1.0 vs 1.0000000000000002) — so
-    ordering-sensitive oracles (IVF argmax/probe) must spell out dot/(|a||b|)."""
+    ordering-sensitive oracles (IVF argmax/probe) must spell out dot/(|a||b|).
+
+    round(x, 6) on these cosines is parity-safe in practice even though
+    round-on-derived-doubles is generally not (the r3 q2 incident): both
+    engines round the bit-identical double, so divergence needs an exact
+    x.xxxxx5 decimal tie — a measure-zero event for cosines of sin-derived
+    float vectors (unlike the decimal-ratio money values that bit q2);
+    verified green at sf0.001/0.01/0.1."""
     return (
         f"list_dot_product({a}, {b}) / "
         f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"

@@ -799,7 +799,11 @@ def run_multiproc_setup(n_procs: int = 4) -> None:
             tr.filter(
                 F.pmod(F.xxhash64("conv_id"), F.lit(n_procs)) == i
             ).write.mode("overwrite").parquet(p)
-    edges_root = os.path.join(CACHE_DIR, "multiproc_edges")
+    # keyed by (corpus size, shard count): a changed SPARK_GRAFT_MULTIPROC_CONVS
+    # must not reuse the previous corpus's per-shard artifacts — the stale
+    # _SUCCESS guard below would skip regeneration and the merged-count
+    # partition-independence assert would only catch it AFTER the timed legs
+    edges_root = os.path.join(CACHE_DIR, f"multiproc_edges_{n_convs}_{n_procs}")
     for i, p in enumerate(shard_paths):
         out = os.path.join(edges_root, str(i))
         if not os.path.exists(os.path.join(out + "_terms", "_SUCCESS")):

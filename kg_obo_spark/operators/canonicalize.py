@@ -215,40 +215,34 @@ def prune_registry_to_delta(
     if REGISTRY_BUCKET_COL not in registry.columns:
         return registry
     id_col = F.col(delta_ids.columns[0])
-    if n_buckets is None:
-        # bucket modulus unknown (pre-versioning snapshot): directory pruning
-        # would be unsound, so keep every directory and rely on the id-range
-        # row-group pushdown alone
-        rows = (
-            delta_ids.select(id_col.alias("id"))
-            .distinct()
-            .limit(max_id_pushdown + 1)
-            .collect()
-        )
-        if len(rows) > max_id_pushdown:
-            return registry
-        ids = sorted(r["id"] for r in rows)
-        if ids:
-            return registry.filter(F.col("id").between(ids[0], ids[-1]))
-        return registry
-    rows = (
-        delta_ids.select(id_col.alias("id"), registry_bucket(id_col, n_buckets).alias("b"))
-        .distinct()
-        .limit(max_id_pushdown + 1)
-        .collect()
-    )
-    b = F.col(REGISTRY_BUCKET_COL)
-    if len(rows) > max_id_pushdown:
-        # delta too wide for an id pushdown: directory pruning only
-        bks = sorted(
-            r["b"]
-            for r in delta_ids.select(registry_bucket(id_col, n_buckets).alias("b"))
-            .distinct()
-            .collect()
-        )
-        return registry.filter(b.isNull() | b.isin(bks))
-    bks = sorted({r["b"] for r in rows})
-    pruned = registry.filter(b.isNull() | b.isin(bks))
+    # one bounded collect serves both levers: (id[, bucket]) distinct, capped
+    # at max_id_pushdown + 1 so an over-wide delta is detected without ever
+    # collecting more than the cap (r6 review: the n_buckets=None branch
+    # previously re-implemented this block)
+    sel = [id_col.alias("id")]
+    if n_buckets is not None:
+        sel.append(registry_bucket(id_col, n_buckets).alias("b"))
+    rows = delta_ids.select(*sel).distinct().limit(max_id_pushdown + 1).collect()
+    over_cap = len(rows) > max_id_pushdown
+    pruned = registry
+    if n_buckets is not None:
+        # directory-level: sound only with the compaction-recorded modulus
+        # (None = pre-versioning snapshot -> null-safe full directory scan)
+        b = F.col(REGISTRY_BUCKET_COL)
+        if over_cap:
+            bks = sorted(
+                r["b"]
+                for r in delta_ids.select(
+                    registry_bucket(id_col, n_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+        else:
+            bks = sorted({r["b"] for r in rows})
+        pruned = pruned.filter(b.isNull() | b.isin(bks))
+    if over_cap:
+        return pruned  # delta too wide for the exact id-range pushdown
     ids = sorted(r["id"] for r in rows)
     if ids:
         pruned = pruned.filter(F.col("id").between(ids[0], ids[-1]))

@@ -178,7 +178,11 @@ def minhash_signatures_md5(
     :func:`minhash_signatures` (vectorized C hashing, no per-shingle Python);
     this variant is the md5-bucket sampling pattern (operators/sampling.py)
     applied to signatures, selected only where cross-engine equality is the
-    point."""
+    point.
+
+    Contract assumption (r6 review): ``str.split()`` here vs the oracle's
+    RE2 ``\\s+`` agree only on ASCII whitespace — see
+    :func:`simhash_frame_md5` for the same caveat."""
     import hashlib
 
     n_salts = (num_hashes + 3) // 4
@@ -478,7 +482,13 @@ def simhash_frame_md5(
     so DuckDB computes the same signature from the same text. Docs with zero
     tokens keep signature 0, matching the production frame. The bit votes are
     still vectorized numpy (chunked unpack + reduceat); only the base hash is
-    per-distinct-token Python md5."""
+    per-distinct-token Python md5.
+
+    Contract assumption (r6 review): tokenization is Python ``str.split()``
+    (Unicode whitespace) while the DuckDB oracle splits on RE2 ``\\s+``
+    (ASCII); they agree on the driver's ASCII corpus — non-ASCII whitespace
+    (U+00A0 etc.) would diverge the engines and needs a regexp-based split on
+    both sides first."""
     import hashlib
 
     def sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

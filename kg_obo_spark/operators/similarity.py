@@ -344,6 +344,43 @@ def ivf_assign(
     )
 
 
+def _seed_centroids(
+    embeddings: DataFrame,
+    hash_col: Column,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared seed-centroid selection: the ``n`` vectors with the smallest
+    ``hash_col`` value. ``orderBy(hash, id).limit(n)`` plans a distributed
+    TakeOrderedAndProject (per-partition top-n, merge on the driver) — never a
+    single-task global sort of the corpus (the r2 global-window regression).
+    The ≤n survivors are collected and re-emitted with centroid_id numbered in
+    id order — bounded by ``n_centroids``, a small constant by contract."""
+    small = (
+        embeddings.select(
+            hash_col.alias("_h"),
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+        .orderBy("_h", "_id")
+        .limit(n_centroids)
+    )
+    rows = sorted(small.collect(), key=lambda r: r["_id"])
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    vec_type = embeddings.schema[vec_col].dataType
+    schema = StructType(
+        [
+            StructField("centroid_id", IntegerType(), False),
+            StructField("centroid_vec", vec_type, True),
+        ]
+    )
+    return embeddings.sparkSession.createDataFrame(
+        [(i + 1, r["centroid_vec"]) for i, r in enumerate(rows)], schema
+    )
+
+
 def deterministic_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -353,36 +390,14 @@ def deterministic_centroids(
     """Hash-spread seed centroids — deterministic, no RNG: the ``n`` vectors
     with the smallest ``xxhash64(id)`` are a uniform pseudo-random sample
     (hash order is independent of id order, unlike a naive first-n, which
-    inherits whatever insertion bias the table has).
-
-    Selection is ``orderBy(hash, id).limit(n)``: Spark plans a distributed
-    TakeOrderedAndProject (per-partition top-n, merge on the driver) — never a
-    single-task global sort of the corpus (the r2 global-window regression).
-    The ≤n survivors are collected and re-emitted with centroid_id numbered in
-    id order (same numbering as before) — bounded by ``n_centroids``, which is
-    a small constant by contract. Used as-is for quick jobs;
-    :func:`kmeans_centroids` refines them with Lloyd iterations."""
-    small = (
-        embeddings.select(
-            F.xxhash64(F.col(id_col).cast("string")).alias("_h"),
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).alias("centroid_vec"),
-        )
-        .orderBy("_h", "_id")
-        .limit(n_centroids)
-    )
-    rows = sorted(small.collect(), key=lambda r: r["_id"])
-    from pyspark.sql.types import IntegerType, StructField, StructType
-
-    vec_type = embeddings.schema[vec_col].dataType
-    schema = StructType(
-        [
-            StructField("centroid_id", IntegerType(), False),
-            StructField("centroid_vec", vec_type, True),
-        ]
-    )
-    return embeddings.sparkSession.createDataFrame(
-        [(i + 1, r["centroid_vec"]) for i, r in enumerate(rows)], schema
+    inherits whatever insertion bias the table has). Used as-is for quick
+    jobs; :func:`kmeans_centroids` refines them with Lloyd iterations."""
+    return _seed_centroids(
+        embeddings,
+        F.xxhash64(F.col(id_col).cast("string")),
+        n_centroids,
+        id_col,
+        vec_col,
     )
 
 
@@ -392,35 +407,19 @@ def deterministic_centroids_md5(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Engine-portable seed-centroid variant: identical selection shape to
-    :func:`deterministic_centroids` (distributed TakeOrderedAndProject,
-    renumbered in id order) but ordered by ``md5(CAST(id AS STRING))`` instead
+    """Engine-portable seed-centroid variant: identical selection machinery
+    (:func:`_seed_centroids`) ordered by ``md5(CAST(id AS STRING))`` instead
     of ``xxhash64`` — DuckDB's ``md5(CAST(id AS VARCHAR))`` produces the same
     lowercase-hex ordering, so an oracle can reproduce the exact centroid set
     and the whole IVF assign/probe/top-k chain becomes value-verifiable.
     Production keeps :func:`deterministic_centroids` (xxhash64 is a cheaper
     codegen hash); this is the contract-query variant."""
-    small = (
-        embeddings.select(
-            F.md5(F.col(id_col).cast("string")).alias("_h"),
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).alias("centroid_vec"),
-        )
-        .orderBy("_h", "_id")
-        .limit(n_centroids)
-    )
-    rows = sorted(small.collect(), key=lambda r: r["_id"])
-    from pyspark.sql.types import IntegerType, StructField, StructType
-
-    vec_type = embeddings.schema[vec_col].dataType
-    schema = StructType(
-        [
-            StructField("centroid_id", IntegerType(), False),
-            StructField("centroid_vec", vec_type, True),
-        ]
-    )
-    return embeddings.sparkSession.createDataFrame(
-        [(i + 1, r["centroid_vec"]) for i, r in enumerate(rows)], schema
+    return _seed_centroids(
+        embeddings,
+        F.md5(F.col(id_col).cast("string")),
+        n_centroids,
+        id_col,
+        vec_col,
     )
 
 

@@ -86,12 +86,35 @@ def get_spark(
     # creation scales with cores. On a real cluster this is the standard
     # "put spark.local.dir on fast local disks/ramdisk" deployment knob;
     # SPARK_LOCAL_DIRS (standard Spark env) still takes precedence.
-    if "SPARK_LOCAL_DIRS" not in os.environ:
+    #
+    # Guardrails (r6 review): tmpfs bounds spill by RAM, so (a) it is only
+    # chosen when the mount has headroom (>= 4 GiB free — small local-mode
+    # shuffles, the benchmark corpus, and tests fit easily; a job expecting
+    # corpus-scale spill should set SPARK_LOCAL_DIRS to provisioned disks or
+    # export SPARK_GRAFT_TMPFS_SCRATCH=0), and (b) scratch subdirs leaked by
+    # killed JVMs (graceful stops clean up after themselves) are swept after
+    # a day so they cannot permanently shrink the mount.
+    if (
+        "SPARK_LOCAL_DIRS" not in os.environ
+        and os.environ.get("SPARK_GRAFT_TMPFS_SCRATCH", "1") != "0"
+    ):
         shm = os.environ.get("SPARK_GRAFT_SHM_DIR", "/dev/shm")
         if os.path.isdir(shm) and os.access(shm, os.W_OK):
-            local_root = os.path.join(shm, "kg_obo_spark_local")
-            os.makedirs(local_root, exist_ok=True)
-            builder = builder.config("spark.local.dir", local_root)
+            import shutil
+            import time
+
+            if shutil.disk_usage(shm).free >= 4 << 30:
+                local_root = os.path.join(shm, "kg_obo_spark_local")
+                os.makedirs(local_root, exist_ok=True)
+                cutoff = time.time() - 86400
+                for entry in os.listdir(local_root):
+                    p = os.path.join(local_root, entry)
+                    try:
+                        if os.path.getmtime(p) < cutoff:
+                            shutil.rmtree(p, ignore_errors=True)
+                    except OSError:
+                        pass  # concurrent session cleaned it up first
+                builder = builder.config("spark.local.dir", local_root)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -399,15 +399,52 @@ class Table:
             from pyspark.sql.types import _parse_datatype_string
 
             # Iceberg's rule permits only WIDENING promotions (int->long,
-            # float->double; spec "Schema Evolution"). A narrowing cast under
-            # Spark's non-ANSI default silently overflows instead of failing
-            # (ADVICE r5 low), so anything else is a hard error here.
+            # float->double, decimal precision growth at fixed scale; spec
+            # "Schema Evolution") — recursively, so array<int> -> array<long>
+            # and struct-field promotions are legal too (r6 review: the
+            # first cut compared top-level typeName only and rejected nested
+            # widenings). A narrowing cast under Spark's non-ANSI default
+            # silently overflows instead of failing (ADVICE r5 low), so
+            # anything non-widening is a hard error here.
+            from pyspark.sql.types import (
+                ArrayType,
+                DecimalType,
+                MapType,
+                StructType,
+            )
+
             widening = {
                 "byte": {"short", "integer", "long"},
                 "short": {"integer", "long"},
                 "integer": {"long"},
                 "float": {"double"},
             }
+
+            def _is_widening(src_t, dst_t) -> bool:
+                if src_t == dst_t:
+                    return True
+                if dst_t.typeName() in widening.get(src_t.typeName(), ()):
+                    return True
+                if isinstance(src_t, DecimalType) and isinstance(dst_t, DecimalType):
+                    return (
+                        dst_t.scale == src_t.scale
+                        and dst_t.precision >= src_t.precision
+                    )
+                if isinstance(src_t, ArrayType) and isinstance(dst_t, ArrayType):
+                    return _is_widening(src_t.elementType, dst_t.elementType)
+                if isinstance(src_t, MapType) and isinstance(dst_t, MapType):
+                    return _is_widening(
+                        src_t.keyType, dst_t.keyType
+                    ) and _is_widening(src_t.valueType, dst_t.valueType)
+                if isinstance(src_t, StructType) and isinstance(dst_t, StructType):
+                    return [f.name for f in src_t.fields] == [
+                        f.name for f in dst_t.fields
+                    ] and all(
+                        _is_widening(a.dataType, b.dataType)
+                        for a, b in zip(src_t.fields, dst_t.fields)
+                    )
+                return False
+
             tgt = {f.name: f.dataType for f in _parse_datatype_string(target)}
 
             def _conform(fr):
@@ -416,7 +453,7 @@ class Table:
                     src_t = fr.schema[c].dataType
                     if c not in tgt or src_t == tgt[c]:
                         cols.append(F.col(c))
-                    elif tgt[c].typeName() in widening.get(src_t.typeName(), ()):
+                    elif _is_widening(src_t, tgt[c]):
                         cols.append(F.col(c).cast(tgt[c]).alias(c))
                     else:
                         raise ValueError(

@@ -1,6 +1,10 @@
 """TableIO snapshot semantics: atomic commit, append, idempotent publish,
 snapshot time-travel, lock mutex, tracking rotation."""
 
+import glob
+import json
+import os
+
 import pytest
 from pyspark.sql import functions as F  # noqa: F401
 
@@ -220,6 +224,58 @@ def test_type_widening_across_append_chain(spark):
     df = t.read(spark)
     assert dict(df.dtypes)["n"] == "bigint"  # head schema wins
     assert sorted(r["n"] for r in df.collect()) == [0, 1, 2, 3, 4, 5]
+
+
+def test_nested_type_widening_across_append_chain(spark):
+    """r6 review: the widening check must recurse — array<int> -> array<long>
+    is a legal Iceberg promotion (element widening), while the reverse is a
+    narrowing and must still raise."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kg_obo_spark.sources.tableio import Table
+
+    t = Table(tempfile.mkdtemp())
+    t.commit(
+        spark.range(2).select(
+            F.array(F.col("id").cast("int")).alias("xs")
+        ),
+        mode="append",
+    )
+    t.commit(
+        spark.range(2, 4).select(
+            F.array(F.col("id").cast("long")).alias("xs")
+        ),
+        mode="append",
+    )
+    df = t.read(spark)
+    assert dict(df.dtypes)["xs"] == "array<bigint>"  # head schema wins
+    assert sorted(r["xs"][0] for r in df.collect()) == [0, 1, 2, 3]
+
+    t2 = Table(tempfile.mkdtemp())
+    t2.commit(
+        spark.range(2).select(F.array(F.col("id").cast("long")).alias("xs")),
+        mode="append",
+    )
+    t2.commit(
+        spark.range(2, 4).select(F.array(F.col("id").cast("int")).alias("xs")),
+        mode="append",
+    )
+    with pytest.raises(ValueError, match="narrow"):
+        t2.read(spark).collect()
+
+
+def test_commit_write_options_passthrough(spark, tmp_path):
+    """write_options reaches the parquet writer (the Iceberg write-properties
+    analog): a compression override is visible in the data file names."""
+    from kg_obo_spark.sources.tableio import Table
+
+    t = Table(str(tmp_path / "t"))
+    snap = t.commit(spark.range(5), write_options={"compression": "gzip"})
+    files = glob.glob(os.path.join(json.loads(snap.data_dir)[0], "*.parquet"))
+    assert files and all(".gz.parquet" in f for f in files)
+    assert t.read(spark).count() == 5
 
 
 def test_concurrent_appends_lose_nothing(spark):
