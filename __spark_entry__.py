@@ -724,6 +724,58 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (r6): distinct word-3-gram overlap of every
+    document against a deterministic held-out 'benchmark' slice (doc_id %
+    97 == 0 — the eval-set stand-in; no external data). Broadcast gram
+    probe + the repetition family's single corpus exchange; floor-e6 ratio
+    discipline."""
+    from kg_obo_spark.functions.text import ngram_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    r = ngram_contamination(d, bench, n=3)
+    return r.select(
+        "doc_id",
+        "n_distinct_grams",
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        F.floor(F.col("contamination_frac") * 1e6)
+        .cast("long")
+        .alias("contamination_frac_e6"),
+    )
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (r6): the parquet corpus is clean, so deterministic PII
+    (an email, an IPv4, a phone number derived from doc_id) is planted into
+    every text INSIDE the query on both sides, then counted on the raw text
+    and scrubbed — md5 of the scrubbed text value-checks every replacement
+    site, not just the counts."""
+    from kg_obo_spark.functions.text import pii_counts, scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7 or +1555"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    t = F.col("text")
+    return planted.select(
+        "doc_id",
+        *[c.cast("long").alias(n) for c, n in zip(
+            pii_counts(t), ["n_email", "n_ipv4", "n_phone"]
+        )],
+        F.md5(scrub_pii(t)).alias("scrub_md5"),
+    )
+
+
 def q_text_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full Gopher 2..4-gram repetition family in one single-exchange
     pass (VERDICT r5 next #6); same floor-e6 ratio discipline as
@@ -1284,6 +1336,10 @@ _ROTATED_OUT = (
     "text_repetition",  # the n=3 row; the new 2..4-gram family row covers it
     "sample_hash_mod",
     "sample_stratified",
+    # two more slots parked mid-r6 for the new decontamination + PII rows
+    # (both below were in the r5 window, so the every-other-round rule holds)
+    "text_fingerprint",
+    "dedup_ngram_jaccard",
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -1345,6 +1401,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_repetition_ngrams": q_text_repetition_ngrams,
         "text_repetition_lines": q_text_repetition_lines,
+        "text_decontaminate": q_text_decontaminate,
+        "text_pii_scrub": q_text_pii_scrub,
         "sample_hash_mod": q_sample_hash_mod,
         "sample_stratified": q_sample_stratified,
         "text_lang_id": q_text_lang_id,
@@ -1409,6 +1467,38 @@ def _lsh_signature_sql(col: str) -> str:
             f" THEN {1 << j} ELSE 0 END)"
         )
     return "CAST(" + "\n             + ".join(terms) + " AS BIGINT)"
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB mirror of q_text_pii_scrub, generated from the SAME
+    PII_PATTERNS dict the Spark scrubber uses (one source of truth): counts
+    via regexp_extract_all on the raw planted text, scrub as the identical
+    ordered regexp_replace chain ('g' — DuckDB replaces only the first match
+    by default, Spark replaces all)."""
+    from kg_obo_spark.functions.text import PII_PATTERNS
+
+    counts = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(txt, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, (pat, _rep) in PII_PATTERNS.items()
+    )
+    scrub = "txt"
+    for pat, rep in PII_PATTERNS.values():
+        scrub = f"regexp_replace({scrub}, '{pat}', '{rep}', 'g')"
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com at 10.0.'
+                      || CAST(doc_id % 256 AS VARCHAR)
+                      || '.7 or +1555'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+          FROM documents
+        )
+        SELECT doc_id,
+               {counts},
+               md5({scrub}) AS scrub_md5
+        FROM t
+        """
 
 
 def all_oracle_sql() -> dict[str, str]:
@@ -1969,6 +2059,36 @@ def all_oracle_sql() -> dict[str, str]:
                           / SUM(cnt * llen) * 1e6) AS BIGINT) AS dup_char_frac_e6
         FROM c GROUP BY doc_id
         """,
+        # decontamination mirrored stage by stage: same token model as the
+        # repetition oracles, distinct (doc, gram), benchmark grams from the
+        # doc_id % 97 slice, left-join overlap count, floor-e6 fraction
+        "text_decontaminate": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> len(x) > 0) AS ts
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(ts) - 2),
+                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS gram
+          FROM t WHERE len(ts) >= 3
+        ), dg AS (
+          SELECT DISTINCT doc_id, gram FROM g
+        ), bg AS (
+          SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+        )
+        SELECT dg.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+               CAST(SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated,
+               CAST(floor(SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END)
+                          * 1.0 / COUNT(*) * 1e6) AS BIGINT)
+                 AS contamination_frac_e6
+        FROM dg LEFT JOIN bg ON dg.gram = bg.gram
+        GROUP BY dg.doc_id
+        """,
+        "text_pii_scrub": _pii_oracle_sql(),
         "text_quality": r"""
         SELECT doc_id, CAST(floor((
             0.4 * least(len(text) / 500.0, 1.0)

@@ -352,3 +352,118 @@ def line_repetition_stats(
             (F.col("_dup_chars") / F.col("_chars")).alias("dup_line_char_frac"),
         )
     )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination stats: per document, how many of its
+    DISTINCT word ``n``-grams also occur anywhere in a benchmark corpus —
+    the training-data decontamination family (GPT-3 app. C / Llama use
+    13-gram overlap against eval sets; the n is a parameter here).
+
+    Output per document (only documents with >= n tokens):
+    ``(id, n_distinct_grams, n_contaminated, contamination_frac)``.
+    Token model: :func:`tokens` (whitespace-run split, no empties) — the
+    same model as the repetition family.
+
+    100 TB shape: the benchmark's distinct gram set is BROADCAST (an eval
+    set is bounded by construction — if it weren't, this becomes a standard
+    shuffled semi-join by flipping the broadcast call); the corpus pays the
+    repetition family's single hash(id) window exchange, the per-(id, gram)
+    distinct rides that clustering (grouping keys are a superset of the
+    partitioning key), the gram-overlap probe is a map-side broadcast hash
+    join, and the final per-id aggregation rides the same clustering again —
+    ONE corpus exchange total, like :func:`ngram_repetition_stats`."""
+    from pyspark.sql import Window
+
+    def grams_of(frame: DataFrame, idc: str, txtc: str) -> DataFrame:
+        toks = frame.select(
+            F.col(idc).alias("id"),
+            F.posexplode(tokens(F.col(txtc))).alias("pos", "w"),
+        )
+        win = Window.partitionBy("id").orderBy("pos")
+        parts = [F.col("w")] + [F.lead("w", k).over(win) for k in range(1, n)]
+        return (
+            toks.select(
+                "id",
+                F.concat_ws(" ", *parts).alias("gram"),
+                parts[-1].alias("_last"),
+            )
+            .filter(F.col("_last").isNotNull())
+            .drop("_last")
+        )
+
+    # the benchmark side only needs SOME per-row key for the position window;
+    # a synthetic row id keeps the API free of assumptions about its schema
+    bench_rows = benchmark.select(
+        F.monotonically_increasing_id().alias("_rid"),
+        F.col(bench_text_col).alias("_btxt"),
+    )
+    bench_grams = F.broadcast(
+        grams_of(bench_rows, "_rid", "_btxt")
+        .select("gram")
+        .distinct()
+        .withColumn("_bench", F.lit(1))
+    )
+    doc_grams = grams_of(df, id_col, text_col).groupBy("id", "gram").agg(
+        F.lit(1).alias("_one")
+    )
+    return (
+        doc_grams.join(bench_grams, "gram", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_distinct_grams"),
+            F.sum(F.coalesce(F.col("_bench"), F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_distinct_grams",
+            "n_contaminated",
+            (F.col("n_contaminated") / F.col("n_distinct_grams")).alias(
+                "contamination_frac"
+            ),
+        )
+    )
+
+
+# PII patterns shared by the scrubber and the DuckDB oracle: every pattern is
+# valid and equivalent in BOTH Java regex (Spark) and RE2 (DuckDB) — no
+# lookaround, no backreferences, ASCII \d and \b in both dialects. Applied in
+# this dict's order (emails first, so an address's digit runs can't be half
+# re-matched as phone/IP fragments after substitution).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+\d{7,15}", "<PHONE>"),
+}
+
+
+def pii_counts(col: Column) -> list[Column]:
+    """One count column per PII pattern (``n_email``/``n_ipv4``/``n_phone``),
+    counted on the RAW text (before scrubbing) — pure codegen
+    ``regexp_count``."""
+    return [
+        F.regexp_count(col, F.lit(pat)).alias(f"n_{name}")
+        for name, (pat, _) in PII_PATTERNS.items()
+    ]
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails, IPv4 addresses and international phone numbers with
+    typed placeholder tokens — the PII-masking pass a training-data pipeline
+    runs before anything else sees the text. Pure codegen ``regexp_replace``
+    chain (Spark replaces ALL occurrences; the DuckDB mirror needs the 'g'
+    flag), applied in :data:`PII_PATTERNS` order. Deliberately conservative
+    recall (no lookaround so the patterns stay RE2-portable); precision over
+    recall is the right default for a *scrub* whose false positives destroy
+    training text."""
+    out = col
+    for pat, rep in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, rep)
+    return out

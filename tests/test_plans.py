@@ -318,3 +318,33 @@ def test_ngram_family_and_line_repetition_single_exchange(spark):
     assert lplan.count("Exchange") == 1
     rows = {x["doc_id"]: (x["n_lines"], x["n_distinct_lines"]) for x in lr.collect()}
     assert rows == {1: (3, 2), 2: (1, 1)}
+
+
+def test_ngram_contamination_broadcast_and_single_corpus_exchange(spark):
+    """Decontamination keeps the repetition family's corpus shape: the doc
+    side pays ONE hash(id) exchange (window -> distinct-gram agg -> overlap
+    agg all ride it), the benchmark gram probe is a BROADCAST join (never a
+    corpus shuffle on gram)."""
+    from kg_obo_spark.functions.text import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x"), (3, "p q r")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    r = ngram_contamination(docs, bench, n=3)
+    plan = _plan(r)
+    assert "BroadcastExchange" in plan
+    assert "hashpartitioning(id" in plan
+    # exactly ONE gram-keyed exchange — the BENCHMARK side's distinct before
+    # broadcast (bounded by the eval-set size); the corpus's distinct-gram
+    # and overlap aggregations both ride the doc window's hash(id)
+    # partitioning, so the corpus never shuffles on gram
+    assert plan.count("hashpartitioning(gram") == 1
+    got = {
+        x["doc_id"]: (x["n_distinct_grams"], x["n_contaminated"])
+        for x in r.collect()
+    }
+    # doc 1: grams {a b c, b c d} -> 1 contaminated; doc 2: {a b c, b c x}
+    # -> 1; doc 3: {p q r} -> 0
+    assert got == {1: (2, 1), 2: (2, 1), 3: (1, 0)}

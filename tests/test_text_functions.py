@@ -105,3 +105,48 @@ def test_ngram_repetition_stats_vs_python(spark):
     assert got == want
     assert set(got) == {1, 2, 5}
     assert got[1][2] == 0.0 and got[2][2] > 0.5
+
+
+def test_ngram_contamination_fraction(spark):
+    """Overlap fraction = contaminated/distinct; docs shorter than n drop."""
+    from kg_obo_spark.functions.text import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "short one"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "quick brown fox country")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in ngram_contamination(docs, bench, n=3).collect()}
+    assert 2 not in rows  # < 3 tokens -> no grams -> no row
+    assert rows[1]["n_distinct_grams"] == 3
+    assert rows[1]["n_contaminated"] == 1  # "quick brown fox"
+    assert abs(rows[1]["contamination_frac"] - 1 / 3) < 1e-12
+    assert rows[3]["n_contaminated"] == 0
+
+
+def test_scrub_pii_counts_and_replacements(spark):
+    """Every pattern family is counted on the raw text and replaced with its
+    typed token; clean text passes through byte-identical."""
+    from kg_obo_spark.functions.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.org or root@h.io, ip 10.0.255.7, tel +4915112345678"),
+            (2, "nothing sensitive here 1.2.3 (not an ip) @not-an-email"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *pii_counts(F.col("text")),
+            scrub_pii(F.col("text")).alias("s"),
+        ).collect()
+    }
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (2, 1, 1)
+    assert out[1]["s"] == "mail <EMAIL> or <EMAIL>, ip <IP>, tel <PHONE>"
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
+    assert out[2]["s"] == "nothing sensitive here 1.2.3 (not an ip) @not-an-email"
