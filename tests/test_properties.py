@@ -230,3 +230,55 @@ def test_ngram_repetition_matches_python(spark, docs):
             round(top / chars, 9) if chars else 0.0,
         )
     assert got == want
+
+
+@_slow
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "x", "yy"]), min_size=0, max_size=10
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "x", "yy"]), min_size=0, max_size=10
+        ),
+        min_size=0,
+        max_size=3,
+    ),
+)
+def test_ngram_contamination_matches_python(spark, docs, bench):
+    """Distributed benchmark-overlap stats equal a set-based reference on
+    arbitrary token lists — distinct doc grams, membership in the union of
+    benchmark grams, count/fraction per doc."""
+    from kg_obo_spark.functions.text import ngram_contamination
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    brows = [(i, " ".join(ws)) for i, ws in enumerate(bench)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bdf = spark.createDataFrame(
+        brows or [(0, "")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_distinct_grams"],
+            r["n_contaminated"],
+            round(r["contamination_frac"], 9),
+        )
+        for r in ngram_contamination(df, bdf, n=3).collect()
+    }
+    bgrams = set()
+    for _, text in brows:
+        ts = text.split()
+        bgrams.update(" ".join(ts[i : i + 3]) for i in range(len(ts) - 2))
+    want = {}
+    for doc_id, text in rows:
+        ts = text.split()
+        grams = {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+        if not grams:
+            continue
+        cont = len(grams & bgrams)
+        want[doc_id] = (len(grams), cont, round(cont / len(grams), 9))
+    assert got == want
