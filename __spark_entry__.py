@@ -679,6 +679,20 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (r6): per-row (shard, order_key) for
+    training read order — seed 1, 16 shards. A pure map-side projection
+    (zero exchange, plan-pinned); the md5 order key and first-8-hex shard
+    arithmetic are the sampling family's engine-portable discipline, so the
+    entire epoch permutation is value-verified."""
+    from kg_obo_spark.operators.sampling import epoch_shard_assignment
+
+    d = _t(spark, sf_dir, "documents")
+    return epoch_shard_assignment(d, n_shards=16, seed=1).select(
+        "doc_id", "shard", "order_key"
+    )
+
+
 def q_sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic 5% corpus slice: md5-bucket sampling, engine-portable
     # (the reproducible sampler a training pipeline uses for splits)
@@ -1336,10 +1350,12 @@ _ROTATED_OUT = (
     "text_repetition",  # the n=3 row; the new 2..4-gram family row covers it
     "sample_hash_mod",
     "sample_stratified",
-    # two more slots parked mid-r6 for the new decontamination + PII rows
-    # (both below were in the r5 window, so the every-other-round rule holds)
+    # three more slots parked mid-r6 for the new decontamination / PII /
+    # epoch-shard rows (all three below were in the r5 window, so the
+    # every-other-round rule holds)
     "text_fingerprint",
     "dedup_ngram_jaccard",
+    "dedup_groups",
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -1403,6 +1419,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_lines": q_text_repetition_lines,
         "text_decontaminate": q_text_decontaminate,
         "text_pii_scrub": q_text_pii_scrub,
+        "epoch_shards": q_epoch_shards,
         "sample_hash_mod": q_sample_hash_mod,
         "sample_stratified": q_sample_stratified,
         "text_lang_id": q_text_lang_id,
@@ -1956,6 +1973,14 @@ def all_oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                len(list_filter(string_split_regex(trim(text), '\s+'),
                                t -> len(t) > 0)) AS n_tokens
+        FROM documents
+        """,
+        "epoch_shards": r"""
+        SELECT doc_id,
+               CAST(CAST(CONCAT('0x',
+                    substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 16 AS INTEGER) AS shard,
+               md5('1:' || CAST(doc_id AS VARCHAR)) AS order_key
         FROM documents
         """,
         "sample_hash_mod": r"""

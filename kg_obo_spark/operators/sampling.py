@@ -78,3 +78,53 @@ def hash_mod_sample_by(
     for k, v in sorted(rates_bp.items()):
         rate = F.when(F.col(strata_col) == F.lit(k), F.lit(v)).otherwise(rate)
     return df.filter(sample_bucket(F.col(key_col)) < rate)
+
+
+def epoch_shard_assignment(
+    df: DataFrame, n_shards: int = 64, seed: int = 0, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic epoch shuffle for training-data ordering: every row gets
+    a ``(shard, order_key)`` pair — ``order_key = md5(f"{seed}:{id}")`` (the
+    pseudo-random epoch position), ``shard`` = the key's first-8-hex integer
+    mod ``n_shards``. A training run reads shard files in ``order_key``
+    order; a new ``seed`` is a fresh, equally-uniform permutation; the same
+    seed reproduces the identical order on any engine, any partitioning,
+    any rerun (the :func:`sample_bucket` md5 discipline applied to epoch
+    ordering).
+
+    100 TB shape: a pure map-side codegen projection — ZERO exchange, never
+    a global sort (the classic ``ORDER BY rand()`` epoch shuffle is a
+    full-corpus range sort). Materializing the order is the consumer's
+    local problem: :func:`write_epoch_shards` repartitions by shard and
+    sorts WITHIN each shard's task — n_shards independent local sorts."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_shards)
+    )
+    return df.select(
+        "*", h.alias("order_key"), shard.cast("int").alias("shard")
+    )
+
+
+def write_epoch_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize one epoch's read order on disk: hive-partitioned by
+    ``shard``, each shard's files internally sorted by ``order_key`` —
+    ``repartition(n_shards, shard)`` + ``sortWithinPartitions`` keeps every
+    sort task-local (one shuffle whose reduce side sorts its own shard;
+    no global range sort, no driver involvement)."""
+    a = epoch_shard_assignment(df, n_shards, seed, id_col)
+    (
+        a.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "order_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
