@@ -37,6 +37,28 @@ def _ivf_plan(spark):
     return ivf_assign(emb, deterministic_centroids(emb, n_centroids=4))
 
 
+def _repetition_plan(spark):
+    from kg_obo_spark.functions.text import ngram_repetition_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return ngram_repetition_stats(docs)
+
+
+def _decontaminate_plan(spark):
+    from kg_obo_spark.functions.text import ngram_contamination
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    return ngram_contamination(docs, bench)
+
+
+def _epoch_plan(spark):
+    from kg_obo_spark.operators.sampling import epoch_shard_assignment
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return epoch_shard_assignment(docs, n_shards=16, seed=1)
+
+
 def main() -> None:
     spark = get_spark(app_name="plans", master="local[8]")
     onto = build_ontology()
@@ -98,7 +120,10 @@ def main() -> None:
             "Fused per-turn scan (mapInArrow)",
             "extract + canonical rewrite + per-turn reduce fused into ONE\n"
             "Arrow-native map stage (PythonMapInArrow): no pandas hop, no\n"
-            "Exchange — the flagship dataflow's extraction is map-only.",
+            "Exchange — the flagship dataflow's extraction is map-only.\n"
+            "(Inside the stage, the scan itself is the r4 vectorized matcher\n"
+            "engine — kg_obo_spark/fastscan.py — which is invisible to Catalyst:\n"
+            "the physical plan below is identical under both matcher engines.)",
             fmt(__import__("kg_obo_spark.operators.extract", fromlist=["x"]).extract_turn_terms(tr, onto, {})),
         ),
         (
@@ -108,6 +133,32 @@ def main() -> None:
             "array_max(transform(...)) in the projection. No Window, no\n"
             "hashpartitioning of the corpus (r2's corpus-x-C shuffle is gone).",
             fmt(_ivf_plan(spark)),
+        ),
+        (
+            "Repetition metrics (one corpus exchange)",
+            "The lead() window's Exchange hashpartitioning(id) satisfies BOTH\n"
+            "downstream aggregations (grouping keys are supersets of id) — the\n"
+            "whole per-doc Gopher dup/top-gram family pays exactly one shuffle\n"
+            "(asserted in tests/test_plans.py::test_ngram_repetition_single_exchange).",
+            fmt(_repetition_plan(spark)),
+        ),
+        (
+            "Benchmark decontamination (broadcast gram probe)",
+            "The eval-set gram set is a BroadcastExchange build side; the only\n"
+            "gram-keyed shuffle is the BENCHMARK side's distinct (bounded by the\n"
+            "eval-set size). The corpus's distinct-gram and overlap aggregations\n"
+            "both ride the document window's hash(id) partitioning — the corpus\n"
+            "never shuffles on gram.",
+            fmt(_decontaminate_plan(spark)),
+        ),
+        (
+            "Epoch shuffle (map-only)",
+            "Deterministic training read order as a pure projection: order_key =\n"
+            "md5(seed:id), shard = first-8-hex mod N — ZERO Exchange, never the\n"
+            "ORDER BY rand() global range sort. write_epoch_shards materializes\n"
+            "with repartition(shard) + sortWithinPartitions: n_shards task-local\n"
+            "sorts.",
+            fmt(_epoch_plan(spark)),
         ),
     ]
     with open("/root/repo/docs/PLANS.md", "w") as f:
