@@ -790,6 +790,98 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based document filter (Rae et al. 2021 §A1.1): per-doc
+    signals + per-rule pass flags + keep. min_stop_hits=1 because the
+    synthetic corpus carries at most one distinct Gopher stopword ('the');
+    the paper's other thresholds stand and the word-count rule bites (the
+    corpus straddles 50 words). Ratios as floor-e6 ints."""
+    from kg_obo_spark.functions.text import gopher_quality_filter
+
+    d = _t(spark, sf_dir, "documents")
+    r = gopher_quality_filter(d, min_stop_hits=1)
+    return r.select(
+        "doc_id",
+        "n_words",
+        "n_stop_hits",
+        F.floor(F.col("mean_word_len") * 1e6).cast("long").alias("mean_word_len_e6"),
+        F.floor(F.col("symbol_word_ratio") * 1e6)
+        .cast("long")
+        .alias("symbol_ratio_e6"),
+        F.floor(F.col("alpha_word_frac") * 1e6).cast("long").alias("alpha_frac_e6"),
+        "pass_word_count",
+        "pass_mean_word_len",
+        "pass_symbol_ratio",
+        "pass_alpha_words",
+        "pass_stopwords",
+        "keep",
+    )
+
+
+def q_text_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row funnel over the Gopher filter: total docs, per-rule pass
+    counts, survivors — the report a pipeline reads before committing a
+    filtered corpus. Same thresholds as text_quality_filter."""
+    from kg_obo_spark.functions.text import gopher_quality_funnel
+
+    d = _t(spark, sf_dir, "documents")
+    f = gopher_quality_funnel(d, min_stop_hits=1)
+    return f.select(
+        "n_docs",
+        *[
+            F.col(c).cast("long").alias(c)
+            for c in [
+                "n_pass_word_count",
+                "n_pass_mean_word_len",
+                "n_pass_symbol_ratio",
+                "n_pass_alpha_words",
+                "n_pass_stopwords",
+                "n_keep",
+            ]
+        ],
+    )
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning (r6): Gopher filter -> exact-dedup
+    keep-first -> 3-gram decontamination vs the doc_id%97 benchmark slice ->
+    80% deterministic sample, as cumulative per-doc stage flags from ONE
+    dataflow. min_stop_hits=1 (corpus carries one distinct stopword)."""
+    from kg_obo_spark.operators.corpus import clean_corpus_flags
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    return clean_corpus_flags(
+        d, bench, contamination_max_frac=0.05, sample_rate_bp=8000,
+        min_stop_hits=1,
+    )
+
+
+def q_corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row stage funnel over q_corpus_clean's flags: input count and
+    survivors after quality/dedup/decontamination/sampling."""
+    from kg_obo_spark.operators.corpus import clean_corpus_funnel
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    f = clean_corpus_funnel(
+        d, bench, contamination_max_frac=0.05, sample_rate_bp=8000,
+        min_stop_hits=1,
+    )
+    return f.select(
+        "n_input",
+        *[
+            F.col(f"n_{s}").cast("long").alias(f"n_{s}")
+            for s in [
+                "pass_quality",
+                "pass_dedup",
+                "pass_decontam",
+                "pass_sample",
+            ]
+        ],
+    )
+
+
 def q_text_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full Gopher 2..4-gram repetition family in one single-exchange
     pass (VERDICT r5 next #6); same floor-e6 ratio discipline as
@@ -1356,6 +1448,13 @@ _ROTATED_OUT = (
     "text_fingerprint",
     "dedup_ngram_jaccard",
     "dedup_groups",
+    # four more slots parked late-r6 for the new Gopher quality-filter and
+    # corpus-clean rows (all four below were green in CORRECTNESS_r05, so
+    # every-other-round holds)
+    "q2_min_price_supplier",
+    "q9_profit_by_nation_year",
+    "s4_regex_extract",
+    "asof_join",
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -1414,6 +1513,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text / dedup / vectors / multimodal
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
+        "text_quality_filter": q_text_quality_filter,
+        "text_quality_funnel": q_text_quality_funnel,
+        "corpus_clean": q_corpus_clean,
+        "corpus_clean_funnel": q_corpus_clean_funnel,
         "text_repetition": q_text_repetition,
         "text_repetition_ngrams": q_text_repetition_ngrams,
         "text_repetition_lines": q_text_repetition_lines,
@@ -2002,6 +2105,227 @@ def all_oracle_sql() -> dict[str, str]:
         WHERE sample_bucket < CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 4000
               WHEN 'es' THEN 4000 WHEN 'fr' THEN 4000 WHEN 'zh' THEN 4000
               ELSE 0 END
+        """,
+        # Gopher quality filter mirrored term-for-term: same token model as
+        # the repetition oracles; mean word length via the non-whitespace
+        # char count (one regex pass, no per-token fold); '...' counted by
+        # non-overlapping replace on both engines; identical IEEE division
+        # order so floor-e6 and the threshold comparisons agree bit-for-bit
+        "text_quality_filter": r"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> len(x) > 0) AS ts
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 len(ts) AS n_words,
+                 CASE WHEN len(ts) = 0 THEN 1 ELSE len(ts) END AS nz,
+                 length(regexp_replace(text, '\s+', '', 'g')) AS ttc,
+                 length(text) - length(replace(text, '#', '')) AS n_hash,
+                 (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+                 len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]')))
+                   AS n_alpha,
+                 len(list_filter(
+                     ['the','be','to','of','and','that','have','with'],
+                     sw -> list_contains(list_transform(ts, x -> lower(x)),
+                                         sw))) AS n_stop
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_stop AS BIGINT) AS n_stop_hits,
+               CAST(floor(ttc * 1.0 / nz * 1e6) AS BIGINT) AS mean_word_len_e6,
+               CAST(floor((n_hash + n_ell) / nz * 1e6) AS BIGINT)
+                 AS symbol_ratio_e6,
+               CAST(floor(n_alpha * 1.0 / nz * 1e6) AS BIGINT) AS alpha_frac_e6,
+               CAST(n_words >= 50 AND n_words <= 100000 AS INT)
+                 AS pass_word_count,
+               CAST(ttc * 1.0 / nz >= 3.0 AND ttc * 1.0 / nz <= 10.0 AS INT)
+                 AS pass_mean_word_len,
+               CAST((n_hash + n_ell) / nz <= 0.1 AS INT) AS pass_symbol_ratio,
+               CAST(n_alpha * 1.0 / nz >= 0.8 AS INT) AS pass_alpha_words,
+               CAST(n_stop >= 1 AS INT) AS pass_stopwords,
+               CAST(n_words >= 50 AND n_words <= 100000
+                    AND ttc * 1.0 / nz >= 3.0 AND ttc * 1.0 / nz <= 10.0
+                    AND (n_hash + n_ell) / nz <= 0.1
+                    AND n_alpha * 1.0 / nz >= 0.8
+                    AND n_stop >= 1 AS INT) AS keep
+        FROM s
+        """,
+        "text_quality_funnel": r"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> len(x) > 0) AS ts
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 len(ts) AS n_words,
+                 CASE WHEN len(ts) = 0 THEN 1 ELSE len(ts) END AS nz,
+                 length(regexp_replace(text, '\s+', '', 'g')) AS ttc,
+                 length(text) - length(replace(text, '#', '')) AS n_hash,
+                 (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+                 len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]')))
+                   AS n_alpha,
+                 len(list_filter(
+                     ['the','be','to','of','and','that','have','with'],
+                     sw -> list_contains(list_transform(ts, x -> lower(x)),
+                                         sw))) AS n_stop
+          FROM t
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(n_words >= 50 AND n_words <= 100000 AS INT))
+                    AS BIGINT) AS n_pass_word_count,
+               CAST(SUM(CAST(ttc * 1.0 / nz >= 3.0 AND ttc * 1.0 / nz <= 10.0
+                             AS INT)) AS BIGINT) AS n_pass_mean_word_len,
+               CAST(SUM(CAST((n_hash + n_ell) / nz <= 0.1 AS INT)) AS BIGINT)
+                 AS n_pass_symbol_ratio,
+               CAST(SUM(CAST(n_alpha * 1.0 / nz >= 0.8 AS INT)) AS BIGINT)
+                 AS n_pass_alpha_words,
+               CAST(SUM(CAST(n_stop >= 1 AS INT)) AS BIGINT) AS n_pass_stopwords,
+               CAST(SUM(CAST(n_words >= 50 AND n_words <= 100000
+                             AND ttc * 1.0 / nz >= 3.0
+                             AND ttc * 1.0 / nz <= 10.0
+                             AND (n_hash + n_ell) / nz <= 0.1
+                             AND n_alpha * 1.0 / nz >= 0.8
+                             AND n_stop >= 1 AS INT)) AS BIGINT) AS n_keep
+        FROM s
+        """,
+        # corpus cleaning mirrored stage by stage: quality CTE from the
+        # text_quality_filter oracle, keep-first dedup via a null-safe
+        # windowed MIN over quality survivors of each fingerprint group,
+        # contamination from the text_decontaminate oracle (identical IEEE
+        # division before the <= threshold), md5 sample bucket
+        "corpus_clean": r"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> len(x) > 0) AS ts
+          FROM documents
+        ), s AS (
+          SELECT doc_id, text, ts,
+                 len(ts) AS n_words,
+                 CASE WHEN len(ts) = 0 THEN 1 ELSE len(ts) END AS nz,
+                 length(regexp_replace(text, '\s+', '', 'g')) AS ttc,
+                 length(text) - length(replace(text, '#', '')) AS n_hash,
+                 (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+                 len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]')))
+                   AS n_alpha,
+                 len(list_filter(
+                     ['the','be','to','of','and','that','have','with'],
+                     sw -> list_contains(list_transform(ts, x -> lower(x)),
+                                         sw))) AS n_stop
+          FROM t
+        ), q AS (
+          SELECT doc_id,
+                 CAST(n_words >= 50 AND n_words <= 100000
+                      AND ttc * 1.0 / nz >= 3.0 AND ttc * 1.0 / nz <= 10.0
+                      AND (n_hash + n_ell) / nz <= 0.1
+                      AND n_alpha * 1.0 / nz >= 0.8
+                      AND n_stop >= 1 AS INT) AS q,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                 CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 10000 AS bucket
+          FROM s
+        ), k AS (
+          SELECT doc_id, q, bucket,
+                 MIN(CASE WHEN q = 1 THEN doc_id END)
+                   OVER (PARTITION BY fp) AS keeper
+          FROM q
+        ), g AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(ts) - 2),
+                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS gram
+          FROM t WHERE len(ts) >= 3
+        ), dg AS (
+          SELECT DISTINCT doc_id, gram FROM g
+        ), bg AS (
+          SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+        ), c AS (
+          SELECT dg.doc_id,
+                 SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                   / COUNT(*) AS cfrac
+          FROM dg LEFT JOIN bg ON dg.gram = bg.gram
+          GROUP BY dg.doc_id
+        )
+        SELECT k.doc_id,
+               q AS pass_quality,
+               CAST(q = 1 AND k.doc_id = keeper AS INT) AS pass_dedup,
+               CAST(q = 1 AND k.doc_id = keeper
+                    AND COALESCE(c.cfrac, 0.0) <= 0.05 AS INT) AS pass_decontam,
+               CAST(q = 1 AND k.doc_id = keeper
+                    AND COALESCE(c.cfrac, 0.0) <= 0.05
+                    AND bucket < 8000 AS INT) AS pass_sample
+        FROM k LEFT JOIN c ON k.doc_id = c.doc_id
+        """,
+        "corpus_clean_funnel": r"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> len(x) > 0) AS ts
+          FROM documents
+        ), s AS (
+          SELECT doc_id, text, ts,
+                 len(ts) AS n_words,
+                 CASE WHEN len(ts) = 0 THEN 1 ELSE len(ts) END AS nz,
+                 length(regexp_replace(text, '\s+', '', 'g')) AS ttc,
+                 length(text) - length(replace(text, '#', '')) AS n_hash,
+                 (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+                 len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]')))
+                   AS n_alpha,
+                 len(list_filter(
+                     ['the','be','to','of','and','that','have','with'],
+                     sw -> list_contains(list_transform(ts, x -> lower(x)),
+                                         sw))) AS n_stop
+          FROM t
+        ), q AS (
+          SELECT doc_id,
+                 CAST(n_words >= 50 AND n_words <= 100000
+                      AND ttc * 1.0 / nz >= 3.0 AND ttc * 1.0 / nz <= 10.0
+                      AND (n_hash + n_ell) / nz <= 0.1
+                      AND n_alpha * 1.0 / nz >= 0.8
+                      AND n_stop >= 1 AS INT) AS q,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                 CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 10000 AS bucket
+          FROM s
+        ), k AS (
+          SELECT doc_id, q, bucket,
+                 MIN(CASE WHEN q = 1 THEN doc_id END)
+                   OVER (PARTITION BY fp) AS keeper
+          FROM q
+        ), g AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(ts) - 2),
+                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS gram
+          FROM t WHERE len(ts) >= 3
+        ), dg AS (
+          SELECT DISTINCT doc_id, gram FROM g
+        ), bg AS (
+          SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+        ), c AS (
+          SELECT dg.doc_id,
+                 SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                   / COUNT(*) AS cfrac
+          FROM dg LEFT JOIN bg ON dg.gram = bg.gram
+          GROUP BY dg.doc_id
+        ), f AS (
+          SELECT k.doc_id, q,
+                 CAST(q = 1 AND k.doc_id = keeper AS INT) AS d2,
+                 CAST(q = 1 AND k.doc_id = keeper
+                      AND COALESCE(c.cfrac, 0.0) <= 0.05 AS INT) AS c2,
+                 CAST(q = 1 AND k.doc_id = keeper
+                      AND COALESCE(c.cfrac, 0.0) <= 0.05
+                      AND bucket < 8000 AS INT) AS s2
+          FROM k LEFT JOIN c ON k.doc_id = c.doc_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
+               CAST(SUM(q) AS BIGINT) AS n_pass_quality,
+               CAST(SUM(d2) AS BIGINT) AS n_pass_dedup,
+               CAST(SUM(c2) AS BIGINT) AS n_pass_decontam,
+               CAST(SUM(s2) AS BIGINT) AS n_pass_sample
+        FROM f
         """,
         "text_repetition": r"""
         WITH t AS (

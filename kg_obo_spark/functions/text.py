@@ -467,3 +467,112 @@ def scrub_pii(col: Column) -> Column:
     for pat, rep in PII_PATTERNS.values():
         out = F.regexp_replace(out, pat, rep)
     return out
+
+
+# The Gopher rule-based quality filter (Rae et al. 2021 §A1.1) — the document
+# filter every LLM training-data pipeline runs before dedup/decontamination.
+# The stopword list is Gopher's own ("the, be, to, of, and, that, have, with");
+# thresholds are the paper's, overridable per call.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    col: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    mean_word_len_range: tuple[float, float] = (3.0, 10.0),
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> list[Column]:
+    """Per-document Gopher quality-filter signals and pass/fail flags, as a
+    list of aliased Column expressions (attach with ``df.select("id", *...)``).
+
+    Rules (Rae et al. 2021 §A1.1, MassiveText):
+      1. word count in ``[min_words, max_words]``;
+      2. mean word length in ``mean_word_len_range``;
+      3. symbol-to-word ratio (``#`` and non-overlapping ``...``) at most
+         ``max_symbol_word_ratio``;
+      4. at least ``min_alpha_word_frac`` of words contain an alphabetic
+         character;
+      5. at least ``min_stop_hits`` DISTINCT stopwords from
+         :data:`GOPHER_STOPWORDS` occur as words.
+
+    Emitted columns: ``n_words``, ``mean_word_len``, ``symbol_word_ratio``,
+    ``alpha_word_frac``, ``n_stop_hits``, one ``pass_*`` int flag per rule,
+    and ``keep`` (the conjunction). Token model is :func:`tokens`.
+
+    100 TB shape: a pure map-side codegen projection over the scan — ZERO
+    exchange, no Python, no joins. Mean word length avoids a per-token fold:
+    total token chars == ``length(regexp_replace(text, '\\s+', ''))`` (the
+    non-whitespace character count), one C regex pass instead of a
+    higher-order-function loop (HOF lambdas measured ~1 ms/row on this
+    corpus family — see docs/PLANS.md). The only per-token work is the
+    alpha-word and stopword membership filters, both bounded by tokens/doc.
+    """
+    toks = tokens(col)
+    lower_toks = F.transform(toks, lambda t: F.lower(t))
+    n_words = F.size(toks)
+    nonzero = F.when(n_words == 0, F.lit(1)).otherwise(n_words)
+    total_token_chars = F.length(F.regexp_replace(col, r"\s+", ""))
+    mean_word_len = total_token_chars / nonzero
+    n_hash = F.length(col) - F.length(F.replace(col, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(col) - F.length(F.replace(col, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_word_ratio = (n_hash + n_ellipsis) / nonzero
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_word_frac = n_alpha_words / nonzero
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop_hits = F.size(
+        F.filter(stop_arr, lambda s: F.array_contains(lower_toks, s))
+    )
+    lo, hi = mean_word_len_range
+    p_words = (n_words >= min_words) & (n_words <= max_words)
+    p_mwl = (mean_word_len >= lo) & (mean_word_len <= hi)
+    p_sym = symbol_word_ratio <= max_symbol_word_ratio
+    p_alpha = alpha_word_frac >= min_alpha_word_frac
+    p_stop = n_stop_hits >= min_stop_hits
+    keep = p_words & p_mwl & p_sym & p_alpha & p_stop
+    return [
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_word_ratio.alias("symbol_word_ratio"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        n_stop_hits.alias("n_stop_hits"),
+        p_words.cast("int").alias("pass_word_count"),
+        p_mwl.cast("int").alias("pass_mean_word_len"),
+        p_sym.cast("int").alias("pass_symbol_ratio"),
+        p_alpha.cast("int").alias("pass_alpha_words"),
+        p_stop.cast("int").alias("pass_stopwords"),
+        keep.cast("int").alias("keep"),
+    ]
+
+
+def gopher_quality_filter(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", **thresholds
+) -> DataFrame:
+    """Per-document Gopher filter frame: ``(id, signals..., pass_*..., keep)``.
+    See :func:`gopher_quality_flags` for rules and the zero-exchange shape."""
+    return df.select(
+        F.col(id_col), *gopher_quality_flags(F.col(text_col), **thresholds)
+    )
+
+
+def gopher_quality_funnel(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", **thresholds
+) -> DataFrame:
+    """One-row funnel report over :func:`gopher_quality_filter`: total
+    documents, per-rule pass counts, and survivors — the go/no-go summary a
+    pipeline operator reads before committing a filtered corpus. Single
+    global aggregation of int flags (map-side partial agg into one row)."""
+    flags = gopher_quality_filter(df, id_col, text_col, **thresholds)
+    return flags.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("pass_word_count").alias("n_pass_word_count"),
+        F.sum("pass_mean_word_len").alias("n_pass_mean_word_len"),
+        F.sum("pass_symbol_ratio").alias("n_pass_symbol_ratio"),
+        F.sum("pass_alpha_words").alias("n_pass_alpha_words"),
+        F.sum("pass_stopwords").alias("n_pass_stopwords"),
+        F.sum("keep").alias("n_keep"),
+    )

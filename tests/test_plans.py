@@ -348,3 +348,23 @@ def test_ngram_contamination_broadcast_and_single_corpus_exchange(spark):
     # doc 1: grams {a b c, b c d} -> 1 contaminated; doc 2: {a b c, b c x}
     # -> 1; doc 3: {p q r} -> 0
     assert got == {1: (2, 1), 2: (2, 1), 3: (1, 0)}
+
+
+def test_gopher_filter_zero_exchange(spark):
+    """The Gopher quality filter is a pure map-side codegen projection: zero
+    Exchange, no Python eval node; the funnel adds exactly the one-row global
+    aggregation (partial agg map-side, no hash exchange on a key)."""
+    from kg_obo_spark.functions.text import (
+        gopher_quality_filter,
+        gopher_quality_funnel,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(gopher_quality_filter(df))
+    assert plan.count("Exchange") == 0
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    fplan = _plan(gopher_quality_funnel(df))
+    # global agg: one single-partition exchange of the 1-row partials only
+    assert fplan.count("Exchange") == 1
+    assert "SinglePartition" in fplan
+    assert "Python" not in fplan

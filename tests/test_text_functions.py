@@ -150,3 +150,88 @@ def test_scrub_pii_counts_and_replacements(spark):
     assert out[1]["s"] == "mail <EMAIL> or <EMAIL>, ip <IP>, tel <PHONE>"
     assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
     assert out[2]["s"] == "nothing sensitive here 1.2.3 (not an ip) @not-an-email"
+
+
+def test_gopher_quality_filter_rules(spark):
+    """Each Gopher rule (Rae et al. 2021 §A1.1) fires on a targeted
+    counterexample and the keep flag is the conjunction; signals match a
+    hand-computed reference."""
+    from kg_obo_spark.functions.text import gopher_quality_filter
+
+    good = "the cat " + " ".join(f"word{i:03d}" for i in range(60))  # 62 words
+    rows = [
+        (1, good),  # passes everything (thresholds below)
+        (2, "the cat sat"),  # too few words
+        (3, "the " + " ".join(["aa"] * 80)),  # mean word len 2.05 < 3
+        (4, "the " + " ".join(["####x"] * 80)),  # symbol ratio >> 0.1
+        (5, "the " + " ".join(["123"] * 80)),  # alpha word frac ~0.012
+        (6, " ".join(f"word{i:03d}" for i in range(80))),  # zero stopwords
+        (7, ""),  # empty: zero words, no division blowup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {
+        x["doc_id"]: x
+        for x in gopher_quality_filter(df, min_stop_hits=1).collect()
+    }
+    assert r[1]["keep"] == 1 and all(
+        r[1][f] == 1
+        for f in [
+            "pass_word_count",
+            "pass_mean_word_len",
+            "pass_symbol_ratio",
+            "pass_alpha_words",
+            "pass_stopwords",
+        ]
+    )
+    fail_rule = {
+        2: "pass_word_count",
+        3: "pass_mean_word_len",
+        4: "pass_symbol_ratio",
+        5: "pass_alpha_words",
+        6: "pass_stopwords",
+    }
+    for doc, rule in fail_rule.items():
+        assert r[doc][rule] == 0, (doc, rule)
+        assert r[doc]["keep"] == 0
+    # hand-checked signals on the good doc: 62 words, 2 stop hits would need
+    # 'the' only (one distinct) -> n_stop_hits == 1
+    assert r[1]["n_words"] == 62
+    assert r[1]["n_stop_hits"] == 1
+    assert abs(r[2]["mean_word_len"] - 9 / 3) < 1e-12  # "the cat sat"
+    assert r[7]["n_words"] == 0 and r[7]["keep"] == 0
+    # '...' counts non-overlapping occurrences, '#' per char
+    sym = {
+        x["doc_id"]: x["symbol_word_ratio"]
+        for x in gopher_quality_filter(
+            spark.createDataFrame(
+                [(1, "a....... b # c")], "doc_id long, text string"
+            )
+        ).collect()
+    }
+    # 7 dots -> 2 non-overlapping '...', plus one '#', over 4 words
+    assert abs(sym[1] - 3 / 4) < 1e-12
+
+
+def test_gopher_funnel_matches_flags(spark):
+    """The one-row funnel equals column sums of the per-doc flag frame."""
+    from kg_obo_spark.functions.text import (
+        gopher_quality_filter,
+        gopher_quality_funnel,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    flags = gopher_quality_filter(df, min_stop_hits=1).toPandas()
+    funnel = gopher_quality_funnel(df, min_stop_hits=1).first()
+    assert funnel["n_docs"] == len(flags)
+    for rule in [
+        "pass_word_count",
+        "pass_mean_word_len",
+        "pass_symbol_ratio",
+        "pass_alpha_words",
+        "pass_stopwords",
+        "keep",
+    ]:
+        key = "n_keep" if rule == "keep" else f"n_{rule}"
+        assert funnel[key] == int(flags[rule].sum()), rule
+    # the corpus makes the filter discriminating: keep is neither 0 nor all
+    assert 0 < funnel["n_keep"] < funnel["n_docs"]
