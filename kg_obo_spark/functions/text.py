@@ -484,6 +484,7 @@ def gopher_quality_flags(
     max_symbol_word_ratio: float = 0.1,
     min_alpha_word_frac: float = 0.8,
     min_stop_hits: int = 2,
+    toks: Column | None = None,
 ) -> list[Column]:
     """Per-document Gopher quality-filter signals and pass/fail flags, as a
     list of aliased Column expressions (attach with ``df.select("id", *...)``).
@@ -509,8 +510,18 @@ def gopher_quality_flags(
     higher-order-function loop (HOF lambdas measured ~1 ms/row on this
     corpus family — see docs/PLANS.md). The only per-token work is the
     alpha-word and stopword membership filters, both bounded by tokens/doc.
+
+    ``toks``: optionally a PRE-TOKENIZED array column. The flag expressions
+    reference the token array ~5 times; inlined, Spark's single collapsed
+    Project re-derives ``split(trim(text))`` per reference (HOF lambdas
+    block common-subexpression elimination). Staging the tokenization behind
+    an alias in a prior select keeps it evaluated once — CollapseProject
+    preserves a multiply-referenced non-cheap alias — measured 1.37x on the
+    sf0.1 corpus (interleaved best-of-5, 1.44 -> 1.05 s). Callers that
+    cannot stage may pass ``toks=None`` and accept the re-derivation.
     """
-    toks = tokens(col)
+    if toks is None:
+        toks = tokens(col)
     lower_toks = F.transform(toks, lambda t: F.lower(t))
     n_words = F.size(toks)
     nonzero = F.when(n_words == 0, F.lit(1)).otherwise(n_words)
@@ -553,9 +564,16 @@ def gopher_quality_filter(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", **thresholds
 ) -> DataFrame:
     """Per-document Gopher filter frame: ``(id, signals..., pass_*..., keep)``.
-    See :func:`gopher_quality_flags` for rules and the zero-exchange shape."""
-    return df.select(
-        F.col(id_col), *gopher_quality_flags(F.col(text_col), **thresholds)
+    See :func:`gopher_quality_flags` for rules and the zero-exchange shape
+    (tokenization staged once — the ``toks`` note there)."""
+    staged = df.select(
+        F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("_ts")
+    )
+    return staged.select(
+        F.col(id_col),
+        *gopher_quality_flags(
+            F.col(text_col), toks=F.col("_ts"), **thresholds
+        ),
     )
 
 
