@@ -693,6 +693,20 @@ def q_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (r6): every document mapped onto the
+    512-token training sequences it occupies under the (seed 1, 16-shard)
+    epoch order — the layout a training reader uses to assemble sequences
+    without materializing the token stream. Integer-only output (shard,
+    seq_id, offsets, token counts), so the whole packing layout is exactly
+    value-verified cross-engine. ONE exchange (the per-shard running-count
+    window), plan-pinned in tests/test_packing.py."""
+    from kg_obo_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=512, n_shards=16, seed=1)
+
+
 def q_sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic 5% corpus slice: md5-bucket sampling, engine-portable
     # (the reproducible sampler a training pipeline uses for splits)
@@ -1455,6 +1469,9 @@ _ROTATED_OUT = (
     "q9_profit_by_nation_year",
     "s4_regex_extract",
     "asof_join",
+    # one more slot parked late-r6 for the new pack_sequences row
+    # (dedup_exact is green in CORRECTNESS_r05, so every-other-round holds)
+    "dedup_exact",
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -1523,6 +1540,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "text_pii_scrub": q_text_pii_scrub,
         "epoch_shards": q_epoch_shards,
+        "pack_sequences": q_pack_sequences,
         "sample_hash_mod": q_sample_hash_mod,
         "sample_stratified": q_sample_stratified,
         "text_lang_id": q_text_lang_id,
@@ -2085,6 +2103,44 @@ def all_oracle_sql() -> dict[str, str]:
                     AS BIGINT) % 16 AS INTEGER) AS shard,
                md5('1:' || CAST(doc_id AS VARCHAR)) AS order_key
         FROM documents
+        """,
+        # concat-and-chunk packing mirrored term-for-term: epoch_shards'
+        # md5 shard/order-key arithmetic, the token_count token model, a
+        # per-shard running sum, and generate_series over the overlapped
+        # sequence range. `//` is DuckDB integer floor-division (operands
+        # are non-negative here, matching Spark's floor(x / lit)); window
+        # SUM returns HUGEINT — cast back to BIGINT.
+        "pack_sequences": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(CAST(CONCAT('0x',
+                      substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 16 AS INTEGER) AS shard,
+                 md5('1:' || CAST(doc_id AS VARCHAR)) AS order_key,
+                 len(list_filter(string_split_regex(trim(text), '\s+'),
+                                 tk -> len(tk) > 0)) AS n_tok
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, shard, n_tok,
+                 CAST(sum(n_tok) OVER (PARTITION BY shard
+                                       ORDER BY order_key, doc_id
+                                       ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS tok_end
+          FROM t WHERE n_tok > 0
+        ),
+        b AS (
+          SELECT shard, doc_id, tok_end - n_tok AS tok_start, tok_end,
+                 unnest(generate_series((tok_end - n_tok) // 512,
+                                        (tok_end - 1) // 512)) AS seq_id
+          FROM s
+        )
+        SELECT shard, seq_id, doc_id,
+               greatest(tok_start, seq_id * 512) - seq_id * 512 AS seq_pos,
+               greatest(tok_start, seq_id * 512) - tok_start AS doc_offset,
+               least(tok_end, (seq_id + 1) * 512)
+                 - greatest(tok_start, seq_id * 512) AS n_tokens
+        FROM b
         """,
         "sample_hash_mod": r"""
         SELECT doc_id,

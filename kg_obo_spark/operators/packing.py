@@ -1,0 +1,120 @@
+"""Sequence packing for training-data pipelines.
+
+A language-model training run does not consume documents — it consumes
+fixed-length token sequences. The standard concat-and-chunk packing
+(GPT-style): order the corpus deterministically, concatenate every
+document's tokens into one stream, and cut the stream every ``budget``
+tokens. A long document spans sequence boundaries, a sequence holds many
+short documents, and no token of padding is wasted.
+
+This expresses packing as a pure dataflow instead of a sequential pass:
+each document is mapped to every ``(shard, seq_id)`` training sequence its
+token span overlaps, together with the exact slice offsets — enough for a
+reader to assemble any sequence from the source documents without ever
+materializing the concatenated token stream.
+
+The ordering is :func:`~kg_obo_spark.operators.sampling.epoch_shard_assignment`'s
+md5 epoch permutation (engine-portable, rerun- and partitioning-independent),
+so the full packing layout is value-verifiable in any engine. A new seed is
+a fresh epoch layout.
+
+Reference analog: none — kg-obo processes ontologies as atomic units
+(reference: kg_obo/transform.py). Packing is part of the LLM-training-data
+family this engine adds on top of the reference's inventory.
+
+100 TB shape: shard/order-key assignment is a map-side codegen projection;
+the ONLY exchange is the hash partition on ``shard`` for the running
+token-count window (pick ``n_shards`` so one shard's rows fit a task —
+md5 sharding keeps shard sizes uniform regardless of document skew); the
+boundary explode and slice arithmetic are codegen map-side on top of the
+window. One exchange total, plan-pinned in tests/test_packing.py. The
+explode fan-out is bounded: a document of T tokens emits at most
+``T // budget + 1`` rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kg_obo_spark.functions.text import token_count
+from kg_obo_spark.operators.sampling import epoch_shard_assignment
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    n_shards: int = 64,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Map every document onto the fixed-``budget`` training sequences it
+    occupies under concat-and-chunk packing of the (seed, n_shards) epoch
+    order. Empty documents (zero tokens) occupy no span and are dropped.
+
+    Returns one row per (document, sequence) overlap:
+
+    - ``shard``      — epoch shard (int)
+    - ``seq_id``     — 0-based sequence number within the shard (long)
+    - ``doc_id``     — the source document (``id_col``)
+    - ``seq_pos``    — token position within the sequence where this
+      document's slice starts (long, ``0 <= seq_pos < budget``)
+    - ``doc_offset`` — token offset within the document where the slice
+      starts (long)
+    - ``n_tokens``   — tokens this document contributes to this sequence
+      (long, ``1 <= n_tokens <= budget``)
+
+    Every sequence of a shard except its last is exactly ``budget`` tokens
+    full; per-document slices are contiguous and partition the document.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    d = epoch_shard_assignment(df, n_shards=n_shards, seed=seed, id_col=id_col)
+    d = d.select(
+        "shard",
+        "order_key",
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("order_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # project the window first, THEN explode: Spark rejects a window
+    # function inside explode()'s child expression
+    d = d.select(
+        "shard",
+        id_col,
+        "n_tok",
+        F.sum("n_tok").over(w).alias("tok_end"),
+    ).select(
+        "shard",
+        id_col,
+        (F.col("tok_end") - F.col("n_tok")).alias("tok_start"),
+        "tok_end",
+    )
+    d = d.select(
+        "shard",
+        id_col,
+        "tok_start",
+        "tok_end",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("tok_start") / F.lit(budget)),
+                F.floor((F.col("tok_end") - 1) / F.lit(budget)),
+            )
+        ).alias("seq_id"),
+    )
+    seq_start = F.col("seq_id") * F.lit(budget)
+    slice_start = F.greatest(F.col("tok_start"), seq_start)
+    slice_end = F.least(F.col("tok_end"), seq_start + F.lit(budget))
+    return d.select(
+        "shard",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.col(id_col),
+        (slice_start - seq_start).cast("long").alias("seq_pos"),
+        (slice_start - F.col("tok_start")).cast("long").alias("doc_offset"),
+        (slice_end - slice_start).cast("long").alias("n_tokens"),
+    )

@@ -1,0 +1,133 @@
+"""Sequence packing: layout invariants, determinism, and the one-exchange
+plan shape. Packing is a training-data layout — a wrong slice silently
+corrupts every training sequence downstream, so the invariants are checked
+exhaustively on a reconstructed token stream."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kg_obo_spark.operators.packing import pack_sequences
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _docs(spark):
+    rows = [
+        (0, "a b c"),
+        (1, " ".join(f"t{i}" for i in range(17))),  # spans boundaries
+        (2, ""),  # empty: must vanish
+        (3, "   \t  "),  # whitespace-only: must vanish
+        (4, "x"),
+        (5, " ".join(f"u{i}" for i in range(9))),
+        (6, "p q"),
+        (7, " ".join(f"v{i}" for i in range(5))),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_budget_must_be_positive(spark):
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(_docs(spark), budget=0)
+
+
+def test_packing_invariants(spark):
+    """Slices partition each document; every sequence except a shard's last
+    is exactly full; seq_pos stays inside the budget; empty docs vanish."""
+    budget = 4
+    out = pack_sequences(
+        _docs(spark), budget=budget, n_shards=2, seed=7
+    ).collect()
+
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {0, 1, 4, 5, 6, 7}  # 2 and 3 dropped
+
+    tok_counts = {0: 3, 1: 17, 4: 1, 5: 9, 6: 2, 7: 5}
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.doc_offset)
+        # contiguous slices starting at 0, covering the whole document
+        assert rows[0].doc_offset == 0
+        for a, b in zip(rows, rows[1:]):
+            assert a.doc_offset + a.n_tokens == b.doc_offset
+        assert sum(r.n_tokens for r in rows) == tok_counts[doc_id]
+        for r in rows:
+            assert 0 <= r.seq_pos < budget
+            assert 1 <= r.n_tokens <= budget
+
+    by_seq: dict[tuple, int] = {}
+    for r in out:
+        by_seq[(r.shard, r.seq_id)] = by_seq.get((r.shard, r.seq_id), 0) + r.n_tokens
+    for shard in {s for s, _ in by_seq}:
+        seqs = sorted(q for s, q in by_seq if s == shard)
+        assert seqs == list(range(len(seqs)))  # dense 0..k
+        for q in seqs[:-1]:
+            assert by_seq[(shard, q)] == budget  # all but the last are full
+        assert 1 <= by_seq[(shard, seqs[-1])] <= budget
+
+
+def test_packing_reconstructs_the_token_stream(spark):
+    """Assembling every sequence from its (doc_offset, n_tokens) slices
+    reproduces the exact concatenated per-shard token stream."""
+    budget = 4
+    docs = _docs(spark)
+    out = pack_sequences(docs, budget=budget, n_shards=2, seed=7)
+    joined = (
+        out.join(docs, "doc_id")
+        .select(
+            "shard",
+            "seq_id",
+            "seq_pos",
+            F.slice(
+                F.filter(F.split(F.trim("text"), r"\s+"), lambda t: F.length(t) > 0),
+                F.col("doc_offset").cast("int") + 1,
+                F.col("n_tokens").cast("int"),
+            ).alias("toks"),
+        )
+        .collect()
+    )
+    # per (shard, seq): slices laid at seq_pos must tile [0, fill) exactly
+    seqs: dict[tuple, list] = {}
+    for r in joined:
+        seqs.setdefault((r.shard, r.seq_id), []).append((r.seq_pos, r.toks))
+    streams: dict[int, list] = {}
+    for (shard, seq_id), parts in sorted(seqs.items()):
+        parts.sort()
+        pos = 0
+        for seq_pos, toks in parts:
+            assert seq_pos == pos
+            pos += len(toks)
+            streams.setdefault(shard, []).extend(toks)
+    # the reassembled stream equals concatenating docs in epoch order
+    from kg_obo_spark.operators.sampling import epoch_shard_assignment
+
+    order = (
+        epoch_shard_assignment(docs, n_shards=2, seed=7)
+        .select("shard", "order_key", "doc_id", "text")
+        .collect()
+    )
+    expect: dict[int, list] = {}
+    for r in sorted(order, key=lambda r: (r.shard, r.order_key, r.doc_id)):
+        expect.setdefault(r.shard, []).extend(r.text.split())
+    assert streams == {s: v for s, v in expect.items() if v}
+
+
+def test_packing_partition_independent(spark):
+    """The layout is a pure function of (corpus, budget, n_shards, seed):
+    repartitioning the input changes nothing."""
+    docs = _docs(spark)
+    a = pack_sequences(docs, budget=4, n_shards=2, seed=7)
+    b = pack_sequences(docs.repartition(7), budget=4, n_shards=2, seed=7)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_packing_single_exchange(spark):
+    """ONE shuffle total: the per-shard running-count window's hash exchange;
+    shard/order-key assignment, the boundary explode, and slice arithmetic
+    are all map-side on top of it."""
+    out = pack_sequences(_docs(spark), budget=4, n_shards=2, seed=7)
+    plan = _plan(out)
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(shard" in plan
