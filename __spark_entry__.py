@@ -707,6 +707,33 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, budget=512, n_shards=16, seed=1)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (r6): 16-token windows, stride 8 (half
+    overlap) — the RAG/context-window splitter. Map-side only: tokenize,
+    explode a bounded window-index sequence, slice; ZERO exchange,
+    plan-pinned in tests/test_chunking.py. chunk_text carries the exact
+    token slice so the whole layout is value-verified cross-engine."""
+    from kg_obo_spark.operators.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=16, stride=8)
+
+
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling (r6): rebalance the corpus toward a target
+    language mixture (en weighted 2, others 1) — the scarcest-per-weight
+    stratum is kept whole, every other stratum hash-mod-thinned to match.
+    Rates are exact integer arithmetic (cross-multiplied argmax + floor
+    division), so the kept row set is bit-identical cross-engine. ONE
+    map-side-combined count agg (#strata rows collected) + a pure codegen
+    scan-filter."""
+    from kg_obo_spark.operators.sampling import mixture_resample
+
+    d = _t(spark, sf_dir, "documents")
+    w = {"de": 1, "en": 2, "es": 1, "fr": 1, "zh": 1}
+    return mixture_resample(d, "doc_id", "lang", w).select("doc_id", "lang")
+
+
 def q_sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic 5% corpus slice: md5-bucket sampling, engine-portable
     # (the reproducible sampler a training pipeline uses for splits)
@@ -1472,6 +1499,10 @@ _ROTATED_OUT = (
     # one more slot parked late-r6 for the new pack_sequences row
     # (dedup_exact is green in CORRECTNESS_r05, so every-other-round holds)
     "dedup_exact",
+    # two more slots parked late-r6 for the new chunk_documents and
+    # mixture_resample rows (both below green in CORRECTNESS_r05)
+    "set_diff_except",
+    "publish_dead_links",
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -1541,6 +1572,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "epoch_shards": q_epoch_shards,
         "pack_sequences": q_pack_sequences,
+        "chunk_documents": q_chunk_documents,
+        "mixture_resample": q_mixture_resample,
         "sample_hash_mod": q_sample_hash_mod,
         "sample_stratified": q_sample_stratified,
         "text_lang_id": q_text_lang_id,
@@ -2141,6 +2174,67 @@ def all_oracle_sql() -> dict[str, str]:
                least(tok_end, (seq_id + 1) * 512)
                  - greatest(tok_start, seq_id * 512) AS n_tokens
         FROM b
+        """,
+        # sliding-window chunking mirrored term-for-term: the tokens() token
+        # model, generate_series over window indices (ceil-division via
+        # integer (a + b - 1) // b), 1-indexed list_slice for the exact
+        # token window. chunk=16, stride=8.
+        "chunk_documents": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             tk -> len(tk) > 0) AS toks
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, toks, len(toks) AS n_tok FROM t WHERE len(toks) > 0
+        ),
+        b AS (
+          SELECT doc_id, toks, n_tok,
+                 unnest(generate_series(0,
+                        CASE WHEN n_tok <= 16 THEN 0
+                             ELSE (n_tok - 16 + 8 - 1) // 8 END)) AS chunk_id
+          FROM s
+        )
+        SELECT doc_id,
+               CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(chunk_id * 8 AS BIGINT) AS tok_start,
+               CAST(least(16, n_tok - chunk_id * 8) AS BIGINT) AS n_tokens,
+               array_to_string(
+                 list_slice(toks, chunk_id * 8 + 1,
+                            chunk_id * 8 + least(16, n_tok - chunk_id * 8)),
+                 ' ') AS chunk_text
+        FROM b
+        """,
+        # mixture resampling mirrored with the same exact integer math:
+        # per-stratum counts, anchor = argmax weight/count by exact
+        # cross-multiplication (ties -> smaller stratum), rate_bp = floor
+        # division, then the sample_bucket md5 filter. Weights: en 2, rest 1.
+        "mixture_resample": r"""
+        WITH c AS (
+          SELECT lang AS s, count(*) AS n FROM documents
+          WHERE lang IN ('de', 'en', 'es', 'fr', 'zh') GROUP BY 1
+        ),
+        w(s, wt) AS (
+          VALUES ('de', 1), ('en', 2), ('es', 1), ('fr', 1), ('zh', 1)
+        ),
+        j AS (SELECT c.s, c.n, w.wt FROM c JOIN w USING (s)),
+        a AS (
+          SELECT s, n, wt FROM j x
+          WHERE NOT EXISTS (
+            SELECT 1 FROM j y
+            WHERE y.wt * x.n > x.wt * y.n
+               OR (y.wt * x.n = x.wt * y.n AND y.s < x.s)
+          )
+        ),
+        r AS (
+          SELECT j.s, (10000 * j.wt * a.n) // (j.n * a.wt) AS rate_bp
+          FROM j, a
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN r ON d.lang = r.s
+        WHERE CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 10000 < r.rate_bp
         """,
         "sample_hash_mod": r"""
         SELECT doc_id,

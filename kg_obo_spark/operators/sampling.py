@@ -80,6 +80,66 @@ def hash_mod_sample_by(
     return df.filter(sample_bucket(F.col(key_col)) < rate)
 
 
+def mixture_sample_rates(
+    df: DataFrame, strata_col: str, weights: dict[str, int]
+) -> dict[str, int]:
+    """Derive per-stratum hash-mod rates that resample the corpus toward a
+    target mixture (the domain-reweighting step of an LLM data pipeline,
+    e.g. rebalancing a dominant language).
+
+    ``weights`` are relative INTEGER target proportions per stratum. The
+    kept sample satisfies E[kept_d] ∝ weights[d]: the stratum with the
+    scarcest data relative to its weight (max ``w_d / n_d``) is kept whole
+    (rate ``SAMPLE_MOD``) and every other stratum is thinned to match —
+    the largest sample achieving the target mixture by downsampling only.
+
+    All arithmetic is exact integers — the anchor stratum is chosen by
+    cross-multiplication (``w_a * n_b > w_b * n_a``), ties broken by the
+    smaller stratum value, and rates are floor-divisions — so the rates
+    (and therefore the sampled row set) are bit-identical in any engine,
+    any partitioning, any rerun. Strata present in the data but absent
+    from ``weights`` get rate 0 (dropped); weighted strata absent from
+    the data are ignored.
+
+    100 TB shape: ONE map-side-combined count aggregation over the scan;
+    the collect is #strata rows. The returned dict feeds
+    :func:`hash_mod_sample_by` (a pure codegen scan+filter).
+    """
+    for k, w in weights.items():
+        if w <= 0 or w != int(w):
+            raise ValueError(f"weight for {k!r} must be a positive int, got {w}")
+    counts = {
+        r["s"]: r["n"]
+        for r in df.filter(F.col(strata_col).isin(list(weights)))
+        .groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return {}
+    # anchor = argmax of w/n, exact: a beats b iff w_a * n_b > w_b * n_a
+    a = min(counts)
+    for s in sorted(counts):
+        if weights[s] * counts[a] > weights[a] * counts[s]:
+            a = s
+    return {
+        s: (SAMPLE_MOD * weights[s] * counts[a]) // (n * weights[a])
+        for s, n in counts.items()
+    }
+
+
+def mixture_resample(
+    df: DataFrame, key_col: str, strata_col: str, weights: dict[str, int]
+) -> DataFrame:
+    """Deterministically resample ``df`` toward the target ``weights``
+    mixture over ``strata_col``: :func:`mixture_sample_rates` for the exact
+    per-stratum rates, then :func:`hash_mod_sample_by` to apply them —
+    downsampling only, anchor stratum kept whole, engine/partitioning/rerun
+    reproducible. Unweighted strata are dropped (default rate 0)."""
+    rates = mixture_sample_rates(df, strata_col, weights)
+    return hash_mod_sample_by(df, key_col, strata_col, rates, default_bp=0)
+
+
 def epoch_shard_assignment(
     df: DataFrame, n_shards: int = 64, seed: int = 0, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -68,9 +68,12 @@ def test_every_query_has_callable_and_runs_registered():
     # the driver records at most 50 CORRECTNESS rows (r1+r2 evidence): a
     # registry over the cap silently loses driver verification for the tail
     assert len(qs) <= entrymod.DRIVER_QUERY_CAP
-    # the 8 entries r2's cap skipped must all be driver-checked now
+    # the r6 oracle graduations (rows-only in every prior round) must hold a
+    # driver slot this round so their first value-verified row lands; the
+    # rest of the r2-cap debt (publish_dead_links, set_diff_except,
+    # multimodal_decode) was paid with green rows in r4/r5 and now follows
+    # the normal every-other-round rotation
     must_check = {
-        "multimodal_decode", "publish_dead_links", "set_diff_except",
         "pipeline_transcripts", "dedup_minhash", "dedup_simhash",
         "ann_ivf", "emb_near_dup_lsh",
     }

@@ -161,3 +161,69 @@ def test_write_epoch_shards_sorted_within_shard(spark, tmp_path):
     }
     got = {r["doc_id"]: r["shard"] for r in back.collect()}
     assert got == want
+
+
+def test_mixture_rates_exact_fraction_reference(spark):
+    """Rates match an exact-rational reference: anchor = argmax w/n (ties ->
+    smaller stratum), rate_d = floor(MOD * (w_d/n_d) / (w_a/n_a))."""
+    from fractions import Fraction
+
+    from kg_obo_spark.operators.sampling import mixture_sample_rates
+
+    rows = [("en", 400), ("de", 100), ("es", 150), ("zh", 75)]
+    df = spark.createDataFrame(
+        [(s, i) for s, n in rows for i in range(n)], "lang string, doc_id long"
+    )
+    weights = {"en": 1, "de": 2, "es": 1, "zh": 1}
+    got = mixture_sample_rates(df, "lang", weights)
+
+    counts = dict(rows)
+    ratios = {s: Fraction(weights[s], counts[s]) for s in counts}
+    anchor = min(sorted(ratios), key=lambda s: (-ratios[s], s))
+    assert anchor == "de"  # 2/100 beats 1/75
+    want = {
+        s: (SAMPLE_MOD * ratios[s].numerator * ratios[anchor].denominator)
+        // (ratios[s].denominator * ratios[anchor].numerator)
+        for s in counts
+    }
+    assert got == want
+    assert got[anchor] == SAMPLE_MOD
+    assert all(0 <= r <= SAMPLE_MOD for r in got.values())
+
+
+def test_mixture_resample_hits_target_mixture(spark):
+    """Kept counts land near the target proportions; the anchor stratum is
+    kept whole; the sample is a subset of the input; unweighted strata are
+    dropped; repartitioning changes nothing."""
+    from kg_obo_spark.operators.sampling import mixture_resample
+
+    rows = [("en", 4000), ("de", 700), ("es", 1500), ("xx", 50)]
+    df = spark.createDataFrame(
+        [(s, i) for s, n in rows for i in range(n)], "lang string, doc_id long"
+    )
+    weights = {"en": 1, "de": 1, "es": 1}
+    kept = mixture_resample(df, "doc_id", "lang", weights).collect()
+    by = {}
+    for r in kept:
+        by.setdefault(r.lang, set()).add(r.doc_id)
+    assert set(by) == {"en", "de", "es"}  # xx dropped
+    assert by["de"] == set(range(700))  # anchor (scarcest/weight) kept whole
+    # en and es thinned toward ~700 each (md5 uniformity: 10% tolerance)
+    assert abs(len(by["en"]) - 700) < 70
+    assert abs(len(by["es"]) - 700) < 70
+    b = mixture_resample(df.repartition(11), "doc_id", "lang", weights).collect()
+    assert sorted(map(tuple, kept)) == sorted(map(tuple, b))
+
+
+def test_mixture_weights_validated(spark):
+    from kg_obo_spark.operators.sampling import mixture_sample_rates
+
+    df = spark.createDataFrame([("en", 1)], "lang string, doc_id long")
+    import pytest
+
+    with pytest.raises(ValueError, match="weight"):
+        mixture_sample_rates(df, "lang", {"en": 0})
+    with pytest.raises(ValueError, match="weight"):
+        mixture_sample_rates(df, "lang", {"en": -3})
+    # no weighted stratum present in the data -> empty rates
+    assert mixture_sample_rates(df, "lang", {"fr": 1}) == {}
