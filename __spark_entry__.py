@@ -707,6 +707,19 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, budget=512, n_shards=16, seed=1)
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (r6): maximal runs of >= 5 consecutive
+    tokens whose every 5-gram repeats corpus-wide (the Lee et al. 2022
+    exact-substring dedup shape). Two exchanges — hash(gram) for the global
+    frequency window, hash(doc) for the gaps-and-islands merge (the final
+    agg rides it via the subset rule); never a self-join. Plan-pinned in
+    tests/test_dedup.py. Integer-only output: exactly value-verified."""
+    from kg_obo_spark.operators.dedup import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_spans(d, k=5)
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking (r6): 16-token windows, stride 8 (half
     overlap) — the RAG/context-window splitter. Map-side only: tokenize,
@@ -1503,6 +1516,10 @@ _ROTATED_OUT = (
     # mixture_resample rows (both below green in CORRECTNESS_r05)
     "set_diff_except",
     "publish_dead_links",
+    # one more slot parked late-r6 for the new duplicate_spans row
+    # (kg_degree green in CORRECTNESS_r05; a5_max_degree keeps the degree
+    # family in the window)
+    "kg_degree",
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -1572,6 +1589,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "epoch_shards": q_epoch_shards,
         "pack_sequences": q_pack_sequences,
+        "duplicate_spans": q_duplicate_spans,
         "chunk_documents": q_chunk_documents,
         "mixture_resample": q_mixture_resample,
         "sample_hash_mod": q_sample_hash_mod,
@@ -2174,6 +2192,46 @@ def all_oracle_sql() -> dict[str, str]:
                least(tok_end, (seq_id + 1) * 512)
                  - greatest(tok_start, seq_id * 512) AS n_tokens
         FROM b
+        """,
+        # exact-substring duplicate spans mirrored term-for-term: positional
+        # k-grams (k=5), corpus-wide frequency window, gaps-and-islands merge
+        # (pos - row_number per doc). Integer output only.
+        "duplicate_spans": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             tk -> len(tk) > 0) AS toks
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, toks, len(toks) AS n_tok FROM t WHERE len(toks) >= 5
+        ),
+        g AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(0, n_tok - 5)) AS pos
+          FROM s
+        ),
+        gp AS (
+          SELECT doc_id, pos,
+                 array_to_string(list_slice(toks, pos + 1, pos + 5), ' ') AS gram
+          FROM g
+        ),
+        d AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS cnt
+            FROM gp
+          ) WHERE cnt >= 2
+        ),
+        i AS (
+          SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+          FROM d
+        )
+        SELECT doc_id,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) - min(pos) + 5 AS BIGINT) AS span_tokens
+        FROM i GROUP BY doc_id, grp
         """,
         # sliding-window chunking mirrored term-for-term: the tokens() token
         # model, generate_series over window indices (ceil-division via

@@ -27,7 +27,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kg_obo_spark.functions.text import fingerprint_md5, tokens
@@ -666,6 +666,66 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ----------------------------------------------------- exact substring spans
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans — the exact-substring dedup shape
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): every maximal run of >= ``k`` consecutive tokens whose every
+    k-gram occurs at least ``min_count`` times corpus-wide (within- and
+    cross-document repeats both count, as in the paper's suffix-array
+    formulation). A downstream cleaner cuts these spans out of the text.
+
+    Returns (``id_col``, ``span_start``, ``span_tokens``): 0-based token
+    offset and length of each maximal duplicated span. Tokens are the shared
+    :func:`~kg_obo_spark.functions.text.tokens` model, case-sensitive
+    (exact-substring means exact).
+
+    Dataflow: positional k-grams (map-side explode; the gram array is one
+    staged HOF projection per row) -> corpus-wide gram count as a window
+    over ``gram`` -> gaps-and-islands merge per document (``pos -
+    row_number()`` grouping), whose aggregation rides the document window's
+    hash partitioning (subset rule). Exactly TWO exchanges — hash(gram) and
+    hash(doc) — both unavoidable: one global gram-frequency view, one
+    per-document merge. Never a self-join: a gram repeated d times costs d
+    rows, not d². Plan-pinned in tests/test_dedup.py.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    toks = tokens(F.col(text_col))
+    d = df.select(F.col(id_col), toks.alias("_toks"))
+    d = d.filter(F.size("_toks") >= k).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - k),
+                lambda i: F.array_join(F.slice("_toks", i + 1, k), " "),
+            )
+        ).alias("pos", "gram"),
+    )
+    cnt_w = Window.partitionBy("gram")
+    d = d.select(
+        id_col, "pos", F.count(F.lit(1)).over(cnt_w).alias("_cnt")
+    ).filter(F.col("_cnt") >= min_count)
+    isl_w = Window.partitionBy(id_col).orderBy("pos")
+    d = d.select(
+        id_col, "pos", (F.col("pos") - F.row_number().over(isl_w)).alias("_grp")
+    )
+    return d.groupBy(id_col, "_grp").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") - F.min("pos") + k).cast("long").alias("span_tokens"),
+    ).select(id_col, "span_start", "span_tokens")
 
 
 # ------------------------------------------------------------ dedup groups

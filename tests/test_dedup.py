@@ -194,3 +194,94 @@ def test_near_dup_groups_composes_with_jaccard(spark):
            near_dup_groups(pairs, docs).collect()}
     assert got[1] == got[2] == got[3] == got[4] == 1
     assert got[5] == got[6]  # FAR and FAR-with-tail are jaccard-near
+
+
+# ----------------------------------------------------- exact substring spans
+
+
+def _brute_duplicate_spans(texts: dict[int, str], k: int, min_count: int = 2):
+    """Reference: per-position k-grams, corpus-wide counts, maximal runs."""
+    from collections import Counter
+
+    grams = {
+        d: [" ".join(t.split()[i : i + k]) for i in range(len(t.split()) - k + 1)]
+        for d, t in texts.items()
+        if len(t.split()) >= k
+    }
+    freq = Counter(g for gs in grams.values() for g in gs)
+    spans = set()
+    for d, gs in grams.items():
+        dup = [i for i, g in enumerate(gs) if freq[g] >= min_count]
+        run = []
+        for p in dup:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    spans.add((d, run[0], run[-1] - run[0] + k))
+                run = [p]
+        if run:
+            spans.add((d, run[0], run[-1] - run[0] + k))
+    return spans
+
+
+def test_duplicate_spans_match_brute_force(spark):
+    from kg_obo_spark.operators.dedup import duplicate_spans
+
+    texts = {
+        0: "a b c d e f g h",          # shares "c d e" run with doc 1
+        1: "x c d e f y z a b",        # overlap c d e f (4 tokens, k=3 run)
+        2: "p q r p q r p q r",        # internal repetition
+        3: "one two three",            # unique
+        4: "a b",                      # shorter than k: no grams
+        5: "",                         # empty
+    }
+    df = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_tokens)
+        for r in duplicate_spans(df, k=3).collect()
+    }
+    assert got == _brute_duplicate_spans(texts, k=3)
+    assert any(d == 2 for d, _, _ in got)  # within-doc repeats count
+
+
+def test_duplicate_spans_args_and_partition_independence(spark):
+    import pytest
+
+    from kg_obo_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(i, "w x y z w x y z") for i in range(6)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="k"):
+        duplicate_spans(df, k=0)
+    with pytest.raises(ValueError, match="min_count"):
+        duplicate_spans(df, k=3, min_count=1)
+    a = sorted(map(tuple, duplicate_spans(df, k=3).collect()))
+    b = sorted(map(tuple, duplicate_spans(df.repartition(5), k=3).collect()))
+    assert a == b
+    # identical docs: every doc's whole token range is one maximal span
+    assert a == [(i, 0, 8) for i in range(6)]
+
+
+def test_duplicate_spans_two_exchanges(spark, tmp_path):
+    """Exactly two shuffles — hash(gram) for the global frequency window and
+    hash(doc_id) for the island merge; the final aggregation rides the
+    second via the subset rule. Never a gram self-join."""
+    from kg_obo_spark.operators.dedup import duplicate_spans
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "w x y z w x y z") for i in range(6)], "doc_id long, text string"
+    ).write.parquet(path)
+    out = duplicate_spans(spark.read.parquet(path), k=3)
+    out.collect()
+    # count only the AQE final plan, not the echoed "Initial Plan" section
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "hashpartitioning(gram" in plan
+    assert "hashpartitioning(doc_id" in plan
+    assert "Join" not in plan
