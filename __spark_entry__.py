@@ -720,6 +720,18 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(d, k=5)
 
 
+def q_corpus_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup applied end-to-end (r6): duplicate_spans(k=5)
+    piped into scrub_spans — every document comes back with its duplicated
+    runs cut out plus the removed-token count (aggressive cut-all policy;
+    the keep-first policy is a caller-side span filter). The clean_text
+    string itself is value-verified cross-engine."""
+    from kg_obo_spark.operators.dedup import duplicate_spans, scrub_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return scrub_spans(d, duplicate_spans(d, k=5))
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking (r6): 16-token windows, stride 8 (half
     overlap) — the RAG/context-window splitter. Map-side only: tokenize,
@@ -1520,6 +1532,10 @@ _ROTATED_OUT = (
     # (kg_degree green in CORRECTNESS_r05; a5_max_degree keeps the degree
     # family in the window)
     "kg_degree",
+    # one more slot parked late-r6 for the new corpus_scrub_spans row
+    # (kg_id_update_map green in CORRECTNESS_r05; kg_curie_normalize +
+    # cc_nation_region keep the canonicalize family in the window)
+    "kg_id_update_map",
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -1590,6 +1606,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shards": q_epoch_shards,
         "pack_sequences": q_pack_sequences,
         "duplicate_spans": q_duplicate_spans,
+        "corpus_scrub_spans": q_corpus_scrub_spans,
         "chunk_documents": q_chunk_documents,
         "mixture_resample": q_mixture_resample,
         "sample_hash_mod": q_sample_hash_mod,
@@ -2232,6 +2249,70 @@ def all_oracle_sql() -> dict[str, str]:
                CAST(min(pos) AS BIGINT) AS span_start,
                CAST(max(pos) - min(pos) + 5 AS BIGINT) AS span_tokens
         FROM i GROUP BY doc_id, grp
+        """,
+        # the scrub applied end-to-end: the duplicate_spans chain, then every
+        # token position NOT covered by a span, reassembled in order
+        # (string_agg ORDER BY pos); docs pass through via LEFT JOIN with
+        # COALESCE so untouched/empty docs keep ('', 0) semantics.
+        "corpus_scrub_spans": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             tk -> len(tk) > 0) AS toks
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, toks, len(toks) AS n_tok FROM t WHERE len(toks) >= 5
+        ),
+        g AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(0, n_tok - 5)) AS pos
+          FROM s
+        ),
+        gp AS (
+          SELECT doc_id, pos,
+                 array_to_string(list_slice(toks, pos + 1, pos + 5), ' ') AS gram
+          FROM g
+        ),
+        d AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS cnt
+            FROM gp
+          ) WHERE cnt >= 2
+        ),
+        i AS (
+          SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+          FROM d
+        ),
+        spans AS (
+          SELECT doc_id, min(pos) AS s0, max(pos) + 5 AS s1
+          FROM i GROUP BY doc_id, grp
+        ),
+        p AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(0, len(toks) - 1)) AS pos
+          FROM t WHERE len(toks) > 0
+        ),
+        kept AS (
+          SELECT p.doc_id, p.pos, p.toks[p.pos + 1] AS tok
+          FROM p
+          WHERE NOT EXISTS (
+            SELECT 1 FROM spans sp
+            WHERE sp.doc_id = p.doc_id AND p.pos >= sp.s0 AND p.pos < sp.s1
+          )
+        ),
+        agg AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               COALESCE(agg.clean_text, '') AS clean_text,
+               CAST(len(t.toks) - COALESCE(agg.n_kept, 0) AS BIGINT)
+                 AS n_removed_tokens
+        FROM t LEFT JOIN agg USING (doc_id)
         """,
         # sliding-window chunking mirrored term-for-term: the tokens() token
         # model, generate_series over window indices (ceil-division via

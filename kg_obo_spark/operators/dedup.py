@@ -728,6 +728,54 @@ def duplicate_spans(
     ).select(id_col, "span_start", "span_tokens")
 
 
+def scrub_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut token spans out of documents — the apply step of exact-substring
+    dedup: feed it :func:`duplicate_spans` output (or any policy-filtered
+    subset, e.g. keep-first) and get the cleaned corpus back.
+
+    ``spans`` must have (``id_col``, ``span_start``, ``span_tokens``) rows
+    with disjoint spans per document (as :func:`duplicate_spans` guarantees).
+    Returns (``id_col``, ``clean_text``, ``n_removed_tokens``) for EVERY
+    input document — unscrubbed docs pass through with 0 removed; a fully
+    duplicated doc comes back with ``clean_text = ''``.
+
+    Dataflow: spans collect_list'd per doc (rides the producer's hash(doc)
+    partitioning when fed from duplicate_spans), left-joined to the corpus
+    (one exchange on the corpus side), then a token-index filter rebuilds
+    the text JVM-side — per-row cost O(tokens × spans), bounded by document
+    length, no Python."""
+    sp = spans.groupBy(F.col(id_col)).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_tokens").alias("n"))
+        ).alias("_spans")
+    )
+    d = df.join(sp, id_col, "left").select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("_toks"),
+        F.coalesce(
+            F.col("_spans"),
+            F.array().cast("array<struct<s:bigint,n:bigint>>"),
+        ).alias("_spans"),
+    )
+    kept = F.filter(
+        "_toks",
+        lambda t, i: ~F.exists(
+            "_spans", lambda sp_: (i >= sp_["s"]) & (i < sp_["s"] + sp_["n"])
+        ),
+    )
+    d = d.select(id_col, F.size("_toks").alias("_n"), kept.alias("_kept"))
+    return d.select(
+        id_col,
+        F.array_join("_kept", " ").alias("clean_text"),
+        (F.col("_n") - F.size("_kept")).cast("long").alias("n_removed_tokens"),
+    )
+
+
 # ------------------------------------------------------------ dedup groups
 
 

@@ -285,3 +285,53 @@ def test_duplicate_spans_two_exchanges(spark, tmp_path):
     assert "hashpartitioning(gram" in plan
     assert "hashpartitioning(doc_id" in plan
     assert "Join" not in plan
+
+
+def test_scrub_spans_removes_exact_duplicate_runs(spark):
+    """duplicate_spans -> scrub_spans removes exactly the duplicated runs;
+    untouched docs pass through; a fully-duplicated doc scrubs to ''."""
+    from kg_obo_spark.operators.dedup import duplicate_spans, scrub_spans
+
+    texts = {
+        0: "a b c d e f g h",
+        1: "x c d e f y z a b",
+        2: "p q r p q r p q r",  # fully duplicated -> empty
+        3: "one two three",      # untouched
+        4: "",
+    }
+    df = spark.createDataFrame(sorted(texts.items()), "doc_id long, text string")
+    spans = duplicate_spans(df, k=3)
+    out = {r.doc_id: r for r in scrub_spans(df, spans).collect()}
+
+    assert set(out) == set(texts)
+    ref_spans = _brute_duplicate_spans(texts, k=3)
+    for d, t in texts.items():
+        toks = t.split()
+        cut = set()
+        for dd, start, n in ref_spans:
+            if dd == d:
+                cut.update(range(start, start + n))
+        want = [tk for i, tk in enumerate(toks) if i not in cut]
+        assert out[d].clean_text == " ".join(want)
+        assert out[d].n_removed_tokens == len(cut)
+    assert out[2].clean_text == ""
+    assert out[3].clean_text == "one two three"
+    assert out[3].n_removed_tokens == 0
+
+
+def test_scrub_spans_partition_independent(spark):
+    from kg_obo_spark.operators.dedup import duplicate_spans, scrub_spans
+
+    df = spark.createDataFrame(
+        [(i, "w x y z k" + f" u{i}" if i % 2 else "w x y z k") for i in range(8)],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans(df, k=4)
+    a = sorted(map(tuple, scrub_spans(df, spans).collect()))
+    b = sorted(
+        map(
+            tuple,
+            scrub_spans(df.repartition(5), duplicate_spans(df.repartition(3), k=4)).collect(),
+        )
+    )
+    assert a == b
