@@ -720,6 +720,18 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(d, k=5)
 
 
+def q_top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords by exact-integer TF-IDF (r6): fixed-point
+    (1e6*tf)//df score — within-doc ranking identical to tf*N/df, but
+    bit-exact cross-engine including alphabetical tie-breaks. Three
+    inherent inverted-index exchanges ((doc,term) agg, term df window,
+    per-doc rank window); map-side partial combine on the count."""
+    from kg_obo_spark.operators.keywords import top_terms_tfidf
+
+    d = _t(spark, sf_dir, "documents")
+    return top_terms_tfidf(d, k=3)
+
+
 def q_corpus_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup applied end-to-end (r6): duplicate_spans(k=5)
     piped into scrub_spans — every document comes back with its duplicated
@@ -1536,6 +1548,10 @@ _ROTATED_OUT = (
     # (kg_id_update_map green in CORRECTNESS_r05; kg_curie_normalize +
     # cc_nation_region keep the canonicalize family in the window)
     "kg_id_update_map",
+    # one more slot parked late-r6 for the new top_terms_tfidf row
+    # (j8_semi_join green in CORRECTNESS_r05; tracking also pinned by
+    # pytest + the live lock/resume probes)
+    "j8_semi_join",
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -1607,6 +1623,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "duplicate_spans": q_duplicate_spans,
         "corpus_scrub_spans": q_corpus_scrub_spans,
+        "top_terms_tfidf": q_top_terms_tfidf,
         "chunk_documents": q_chunk_documents,
         "mixture_resample": q_mixture_resample,
         "sample_hash_mod": q_sample_hash_mod,
@@ -2249,6 +2266,37 @@ def all_oracle_sql() -> dict[str, str]:
                CAST(min(pos) AS BIGINT) AS span_start,
                CAST(max(pos) - min(pos) + 5 AS BIGINT) AS span_tokens
         FROM i GROUP BY doc_id, grp
+        """,
+        # TF-IDF mirrored term-for-term: tokens() model, (doc,term) counts,
+        # df as a window over term, exact integer (1e6*tf)//df score,
+        # row_number rank (score desc, term asc), top 3.
+        "top_terms_tfidf": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    tk -> len(tk) > 0)) AS term
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        sc AS (
+          SELECT doc_id, term, tf,
+                 count(*) OVER (PARTITION BY term) AS df,
+                 (1000000 * tf) // (count(*) OVER (PARTITION BY term))
+                   AS score_e6
+          FROM tf
+        ),
+        r AS (
+          SELECT doc_id, term, tf, df, score_e6,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score_e6 DESC, term ASC) AS rank
+          FROM sc
+        )
+        SELECT doc_id, term,
+               CAST(tf AS BIGINT) AS tf,
+               CAST(df AS BIGINT) AS df,
+               CAST(score_e6 AS BIGINT) AS score_e6,
+               CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 3
         """,
         # the scrub applied end-to-end: the duplicate_spans chain, then every
         # token position NOT covered by a span, reassembled in order
