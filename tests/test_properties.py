@@ -282,3 +282,121 @@ def test_ngram_contamination_matches_python(spark, docs, bench):
         cont = len(grams & bgrams)
         want[doc_id] = (len(grams), cont, round(cont / len(grams), 9))
     assert got == want
+
+
+# --------------------------------------------- r6 training-data layout fuzz
+
+_docs_st = st.lists(
+    st.lists(st.sampled_from(["a", "bb", "ccc", "x", "yy"]), min_size=0, max_size=12),
+    min_size=1,
+    max_size=5,
+)
+
+
+@_slow
+@given(
+    docs=_docs_st,
+    budget=st.integers(min_value=1, max_value=6),
+    n_shards=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2),
+)
+def test_pack_sequences_matches_python(spark, docs, budget, n_shards, seed):
+    """Concat-and-chunk packing equals an exact md5-ordered reference on
+    arbitrary corpora and (budget, n_shards, seed)."""
+    import hashlib
+
+    from kg_obo_spark.operators.packing import pack_sequences
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {tuple(r) for r in pack_sequences(df, budget, n_shards, seed).collect()}
+
+    placed = []
+    for d, t in rows:
+        n = len(t.split())
+        if n == 0:
+            continue
+        h = hashlib.md5(f"{seed}:{d}".encode()).hexdigest()
+        placed.append((int(h[:8], 16) % n_shards, h, d, n))
+    want = set()
+    for shard in {p[0] for p in placed}:
+        pos = 0
+        for _, h, d, n in sorted(
+            (p for p in placed if p[0] == shard), key=lambda p: (p[1], p[2])
+        ):
+            start, end = pos, pos + n
+            for q in range(start // budget, (end - 1) // budget + 1):
+                s0, s1 = max(start, q * budget), min(end, (q + 1) * budget)
+                want.add((shard, q, d, s0 - q * budget, s0 - start, s1 - s0))
+            pos = end
+    assert got == want
+
+
+@_slow
+@given(
+    docs=_docs_st,
+    chunk=st.integers(min_value=1, max_value=6),
+    stride_frac=st.integers(min_value=1, max_value=6),
+)
+def test_chunk_documents_matches_python(spark, docs, chunk, stride_frac):
+    """Sliding-window chunking equals the reference layout for arbitrary
+    (chunk, stride <= chunk) on arbitrary corpora."""
+    from kg_obo_spark.operators.chunking import chunk_documents
+
+    stride = min(stride_frac, chunk)
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {tuple(r) for r in chunk_documents(df, chunk, stride).collect()}
+
+    want = set()
+    for d, t in rows:
+        toks = t.split()
+        n = len(toks)
+        if n == 0:
+            continue
+        m1 = 0 if n <= chunk else -(-(n - chunk) // stride)
+        for i in range(m1 + 1):
+            s = i * stride
+            ln = min(chunk, n - s)
+            want.add((d, i, s, ln, " ".join(toks[s : s + ln])))
+    assert got == want
+
+
+@_slow
+@given(docs=_docs_st, k=st.integers(min_value=2, max_value=3))
+def test_duplicate_spans_matches_python_fuzz(spark, docs, k):
+    """Maximal duplicated-run detection equals a Counter + island-merge
+    reference on arbitrary corpora (tiny vocab forces frequent repeats)."""
+    from kg_obo_spark.operators.dedup import duplicate_spans
+    from tests.test_dedup import _brute_duplicate_spans
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {tuple(r) for r in duplicate_spans(df, k=k).collect()}
+    assert got == _brute_duplicate_spans(dict(rows), k=k)
+
+
+@_slow
+@given(docs=_docs_st, k=st.integers(min_value=1, max_value=3))
+def test_top_terms_tfidf_matches_python(spark, docs, k):
+    """Exact-integer TF-IDF top-k (scores, ties, ranks) equals a Counter
+    reference on arbitrary corpora."""
+    from collections import Counter
+
+    from kg_obo_spark.operators.keywords import SCORE_SCALE, top_terms_tfidf
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {tuple(r) for r in top_terms_tfidf(df, k=k).collect()}
+
+    tf = {d: Counter(t.split()) for d, t in rows}
+    dfreq = Counter(term for c in tf.values() for term in c)
+    want = set()
+    for d, c in tf.items():
+        ranked = sorted(
+            ((SCORE_SCALE * n) // dfreq[t], t, n) for t, n in c.items()
+        )
+        ranked.sort(key=lambda r: (-r[0], r[1]))
+        for i, (score, t, n) in enumerate(ranked[:k], start=1):
+            want.add((d, t, n, dfreq[t], score, i))
+    assert got == want
