@@ -108,6 +108,8 @@ def mixture_sample_rates(
     for k, w in weights.items():
         if w <= 0 or w != int(w):
             raise ValueError(f"weight for {k!r} must be a positive int, got {w}")
+    # coerce integral floats (2.0) so the rate arithmetic stays exact ints
+    weights = {k: int(w) for k, w in weights.items()}
     counts = {
         r["s"]: r["n"]
         for r in df.filter(F.col(strata_col).isin(list(weights)))
