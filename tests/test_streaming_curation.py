@@ -42,3 +42,48 @@ def test_quality_filter_stream_equals_batch(spark, tmp_path):
     got = {tuple(r) for r in spark.sql("SELECT * FROM sqf").collect()}
     assert got == want
     assert any(r for r in got)  # non-empty: the pin actually compared rows
+
+
+def test_stream_contamination_equals_batch(spark, tmp_path):
+    """The stateless mapInPandas contamination variant equals the batch
+    window/groupBy operator row-for-row (IEEE-identical fractions) on a
+    multi-micro-batch stream."""
+    from kg_obo_spark.functions.text import ngram_contamination
+    from kg_obo_spark.streaming.curation import stream_ngram_contamination
+
+    src = str(tmp_path / "csrc")
+    corpus = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "spark shuffle partitions and skew salting explained"),
+        (2, "the quick brown cat naps"),
+        (3, "one two"),       # < n tokens: no row
+        (4, ""),
+        (5, "quick brown fox jumps high above the fence"),
+    ]
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox ran"), (1, "skew salting explained well")],
+        "bid long, text string",
+    )
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    want = {tuple(r) for r in ngram_contamination(docs, bench, n=3).collect()}
+    assert any(r[2] > 0 for r in want)  # contamination actually present
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_ngram_contamination(spark, stream, bench, n=3)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("scontam")
+        .option("checkpointLocation", str(tmp_path / "cckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM scontam").collect()}
+    assert got == want
