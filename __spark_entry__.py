@@ -1494,64 +1494,50 @@ def q_publish_dead_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_QUERY_CAP = 50
 
 _ROTATED_OUT = (
-    # --- r6 parked set (alternating schedule: every oracled query gets a
-    # driver row at least every other round). Every entry below is green
-    # rows+schema+hash in CORRECTNESS_r05; still swept by the local parity
-    # harness + test_entry_contract.py::test_rotated_parity. The r5-parked
-    # set (q3/q4/q5/q7, p3, a10/a12/a14, text_token_count, json_extract,
-    # emb_norm_stats, cube_revenue, pivot_status, sessionize,
-    # publish_format_tag) rotates back into the driver window here; two
-    # extra slots are parked for the new r6 rows text_repetition_ngrams and
-    # text_repetition_lines.
-    "q1_pricing_summary",
-    "q10_returned_items",
-    "revenue_by_segment",
-    "p1_filter_isin",
-    "p2_illegal_chars",
-    "p4_category_rewrite",
-    "p8_prefix_capitalize",
-    "j1_broadcast_remap",
-    "j4_version_selfjoin",
-    "j6_anti_join",
-    "a7_group_collect",
-    "s5_extract_all_explode",
-    "window_latest",
-    "text_lang_id",
-    "text_repetition",  # the n=3 row; the new 2..4-gram family row covers it
-    "sample_hash_mod",
-    "sample_stratified",
-    # three more slots parked mid-r6 for the new decontamination / PII /
-    # epoch-shard rows (all three below were in the r5 window, so the
-    # every-other-round rule holds)
-    "text_fingerprint",
-    "dedup_ngram_jaccard",
-    "dedup_groups",
-    # four more slots parked late-r6 for the new Gopher quality-filter and
-    # corpus-clean rows (all four below were green in CORRECTNESS_r05, so
-    # every-other-round holds)
-    "q2_min_price_supplier",
-    "q9_profit_by_nation_year",
-    "s4_regex_extract",
-    "asof_join",
-    # one more slot parked late-r6 for the new pack_sequences row
-    # (dedup_exact is green in CORRECTNESS_r05, so every-other-round holds)
-    "dedup_exact",
-    # two more slots parked late-r6 for the new chunk_documents and
-    # mixture_resample rows (both below green in CORRECTNESS_r05)
-    "set_diff_except",
-    "publish_dead_links",
-    # one more slot parked late-r6 for the new duplicate_spans row
-    # (kg_degree green in CORRECTNESS_r05; a5_max_degree keeps the degree
-    # family in the window)
-    "kg_degree",
-    # one more slot parked late-r6 for the new corpus_scrub_spans row
-    # (kg_id_update_map green in CORRECTNESS_r05; kg_curie_normalize +
-    # cc_nation_region keep the canonicalize family in the window)
-    "kg_id_update_map",
-    # one more slot parked late-r6 for the new top_terms_tfidf row
-    # (j8_semi_join green in CORRECTNESS_r05; tracking also pinned by
-    # pytest + the live lock/resume probes)
-    "j8_semi_join",
+    # --- r7 parked set (alternating schedule: every oracled query gets a
+    # driver row at least every other round). The FULL r6-parked set (30
+    # names: q1/q2/q9/q10, revenue_by_segment, p1/p2/p4/p8, j1/j4/j6/j8,
+    # a7, s4/s5, window_latest, set_diff_except, kg_degree,
+    # kg_id_update_map, publish_dead_links, dedup_exact/groups/
+    # ngram_jaccard, sample_hash_mod/stratified, text_fingerprint/lang_id/
+    # repetition, asof_join) rotates back into the driver window per the
+    # r6 VERDICT brief. Every entry below is green rows+schema+hash in
+    # CORRECTNESS_r06 and remains swept by the local parity harness
+    # (tools/parity_check.py) + test_entry_contract.py::test_rotated_parity.
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_revenue_by_nation",
+    "q7_volume_shipping",
+    "p3_version_validation",
+    "a5_max_degree",
+    "a10_distinct_namespaces",
+    "a12_dedup_rows",
+    "a14_format_fanout",
+    "json_extract",
+    "text_token_count",
+    "text_quality",
+    "emb_norm_stats",
+    "cube_revenue",
+    "pivot_status",
+    "sessionize",
+    "publish_format_tag",
+    "multimodal_payload",
+    "publish_index",
+    "publish_root_index",
+    "sketch_distinct_users",
+    "kmv_set_ops",
+    "ann_cosine_topk",
+    "emb_near_dup",
+    "user_session_features",
+    "kg_curie_normalize",
+    "kg_comention_edges",
+    "cc_nation_region",
+    # the four r6 md5-variant graduations park for one round and return in
+    # r8 (each has a green rows+schema+hash row in CORRECTNESS_r06)
+    "dedup_minhash",
+    "dedup_simhash",
+    "ann_ivf",
+    "emb_near_dup_lsh",
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
