@@ -2215,7 +2215,9 @@ def all_oracle_sql() -> dict[str, str]:
         """,
         # exact-substring duplicate spans mirrored term-for-term: positional
         # k-grams (k=5), corpus-wide frequency window, gaps-and-islands merge
-        # (pos - row_number per doc). Integer output only.
+        # per doc (r7 island rule: new island only when the pos gap >= k, so
+        # emitted token spans are disjoint — lag + running sum, mirroring the
+        # Spark side). Integer output only.
         "duplicate_spans": r"""
         WITH t AS (
           SELECT doc_id,
@@ -2242,11 +2244,18 @@ def all_oracle_sql() -> dict[str, str]:
             FROM gp
           ) WHERE cnt >= 2
         ),
+        f AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                ORDER BY pos) < 5
+                      THEN 0 ELSE 1 END AS new_island
+          FROM d
+        ),
         i AS (
           SELECT doc_id, pos,
-                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-                   AS grp
-          FROM d
+                 SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS grp
+          FROM f
         )
         SELECT doc_id,
                CAST(min(pos) AS BIGINT) AS span_start,
@@ -2401,7 +2410,7 @@ def all_oracle_sql() -> dict[str, str]:
           )
         ),
         r AS (
-          SELECT j.s, (10000 * j.wt * a.n) // (j.n * a.wt) AS rate_bp
+          SELECT j.s, greatest(1, (10000 * j.wt * a.n) // (j.n * a.wt)) AS rate_bp
           FROM j, a
         )
         SELECT d.doc_id, d.lang

@@ -12,6 +12,7 @@ heuristic), document fingerprinting (normalized md5 + rolling hash).
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import numpy as np
@@ -35,6 +36,21 @@ STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 def tokens(col: Column) -> Column:
     """Whitespace tokens of trimmed text (empty string -> empty array)."""
     return F.filter(F.split(F.trim(col), r"\s+"), lambda t: F.length(t) > 0)
+
+
+# Java \s == ASCII [ \t\n\x0B\f\r] (no UNICODE_CHARACTER_CLASS flag), so the
+# engine-wide tokens() model is ASCII-whitespace-only. Python str.split()
+# splits on ALL Unicode whitespace (U+00A0, U+2028, ...), which silently
+# diverges on non-ASCII corpora — every Arrow/Pandas stage must tokenize via
+# this helper instead of str.split() so Python stages and JVM stages agree
+# (r6 ADVICE, streaming/curation.py).
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def py_tokens(s: str) -> list[str]:
+    """Python-side mirror of :func:`tokens`: split on Java ``\\s+`` (ASCII
+    whitespace only), dropping empty segments."""
+    return [t for t in _JAVA_WS.split(s) if t]
 
 
 def token_count(col: Column) -> Column:
@@ -312,7 +328,11 @@ def line_repetition_stats(
     where ``dup_line_frac = 1 - distinct/total`` and ``dup_line_char_frac``
     is the character mass of lines occurring more than once (Rae et al. 2021
     §A1.1 "duplicate line fraction" / "duplicate line character fraction").
-    Documents with zero non-empty lines produce no row.
+    Documents with zero non-empty lines produce no row. Line breaks are
+    ``\\r?\\n`` (r6 ADVICE): a CRLF corpus would otherwise leave a trailing
+    ``\\r`` on every line — ``F.trim`` strips only ASCII spaces — making
+    visually identical CRLF and LF lines count as distinct and understating
+    ``dup_line_frac``.
 
     100 TB shape: an explicit ``repartition(id)`` puts BOTH aggregations on
     the same hash(id) clustering (grouping keys are supersets of ``id``), so
@@ -324,7 +344,7 @@ def line_repetition_stats(
         F.explode(
             F.filter(
                 F.transform(
-                    F.split(F.col(text_col), "\n"), lambda seg: F.trim(seg)
+                    F.split(F.col(text_col), r"\r?\n"), lambda seg: F.trim(seg)
                 ),
                 lambda seg: F.length(seg) > 0,
             )

@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kg_obo_spark.functions.text import fingerprint_md5, tokens
+from kg_obo_spark.functions.text import fingerprint_md5, py_tokens, tokens
 
 # ------------------------------------------------------------------ exact
 
@@ -113,7 +113,7 @@ def minhash_signatures(
         for pdf in batches:
             lists = []
             for s in pdf[text_col].astype(str):
-                toks = s.lower().split()
+                toks = py_tokens(s.lower())
                 if len(toks) < shingle_k:
                     lists.append(())
                 else:
@@ -180,9 +180,9 @@ def minhash_signatures_md5(
     applied to signatures, selected only where cross-engine equality is the
     point.
 
-    Contract assumption (r6 review): ``str.split()`` here vs the oracle's
-    RE2 ``\\s+`` agree only on ASCII whitespace — see
-    :func:`simhash_frame_md5` for the same caveat."""
+    Tokenization (r7): :func:`~kg_obo_spark.functions.text.py_tokens`,
+    the exact Python mirror of the engine-wide Java ``\\s+`` model — the
+    pre-r7 ``str.split()`` silently diverged on non-ASCII whitespace."""
     import hashlib
 
     n_salts = (num_hashes + 3) // 4
@@ -192,7 +192,7 @@ def minhash_signatures_md5(
             ids: list = []
             sig_rows: list = []
             for rid, s in zip(pdf[id_col], pdf[text_col].astype(str)):
-                toks = s.lower().split()
+                toks = py_tokens(s.lower())
                 if len(toks) < shingle_k:
                     continue
                 shingles = dict.fromkeys(
@@ -411,12 +411,12 @@ def simhash_frame(
     passes run on ~20k-token chunks: one whole-batch (tokens, 64) matrix blows
     the cache and measured ~11x SLOWER than chunked on the sf0.1 corpus
     (0.41 s vs 0.036 s single-threaded). The only per-row Python is
-    ``str.split``."""
+    the ``py_tokens`` split."""
 
     def sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunk_tokens = 20_000
         for pdf in batches:
-            tok_lists = [s.lower().split() for s in pdf[text_col].astype(str)]
+            tok_lists = [py_tokens(s.lower()) for s in pdf[text_col].astype(str)]
             counts = np.fromiter(
                 (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
             )
@@ -484,18 +484,17 @@ def simhash_frame_md5(
     still vectorized numpy (chunked unpack + reduceat); only the base hash is
     per-distinct-token Python md5.
 
-    Contract assumption (r6 review): tokenization is Python ``str.split()``
-    (Unicode whitespace) while the DuckDB oracle splits on RE2 ``\\s+``
-    (ASCII); they agree on the driver's ASCII corpus — non-ASCII whitespace
-    (U+00A0 etc.) would diverge the engines and needs a regexp-based split on
-    both sides first."""
+    Tokenization (r7): :func:`~kg_obo_spark.functions.text.py_tokens`
+    pins the exact Java ``\\s+`` (ASCII) model on the Python side, matching
+    the DuckDB oracle's RE2 ``\\s+`` on any corpus (the pre-r7
+    ``str.split()`` diverged on U+00A0 etc.)."""
     import hashlib
 
     def sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunk_tokens = 20_000
         shifts = np.arange(n_bits, dtype=np.uint64)
         for pdf in batches:
-            tok_lists = [s.lower().split() for s in pdf[text_col].astype(str)]
+            tok_lists = [py_tokens(s.lower()) for s in pdf[text_col].astype(str)]
             counts = np.fromiter(
                 (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
             )
@@ -686,15 +685,18 @@ def duplicate_spans(
     formulation). A downstream cleaner cuts these spans out of the text.
 
     Returns (``id_col``, ``span_start``, ``span_tokens``): 0-based token
-    offset and length of each maximal duplicated span. Tokens are the shared
+    offset and length of each maximal duplicated span, DISJOINT per document
+    (islands of duplicated gram positions closer than ``k`` are merged — see
+    the island rule below — so summing ``span_tokens`` gives exact
+    removed-token totals). Tokens are the shared
     :func:`~kg_obo_spark.functions.text.tokens` model, case-sensitive
     (exact-substring means exact).
 
     Dataflow: positional k-grams (map-side explode; the gram array is one
     staged HOF projection per row) -> corpus-wide gram count as a window
-    over ``gram`` -> gaps-and-islands merge per document (``pos -
-    row_number()`` grouping), whose aggregation rides the document window's
-    hash partitioning (subset rule). Exactly TWO exchanges — hash(gram) and
+    over ``gram`` -> gaps-and-islands merge per document (lag + running-sum
+    grouping, gap threshold ``k``), whose aggregation rides the document
+    window's hash partitioning (subset rule). Exactly TWO exchanges — hash(gram) and
     hash(doc) — both unavoidable: one global gram-frequency view, one
     per-document merge. Never a self-join: a gram repeated d times costs d
     rows, not d². Plan-pinned in tests/test_dedup.py.
@@ -718,9 +720,28 @@ def duplicate_spans(
     d = d.select(
         id_col, "pos", F.count(F.lit(1)).over(cnt_w).alias("_cnt")
     ).filter(F.col("_cnt") >= min_count)
+    # Island rule (r6 ADVICE): a new island starts only when the gap to the
+    # previous duplicated gram position is >= k — islands closer than that
+    # produce token spans [e, e+k) / [s, s+k) with s - e < k, which OVERLAP
+    # as token ranges. Merging them (lag + running-sum grouping instead of
+    # the classic pos - row_number(), same hash(doc) clustering) makes the
+    # emitted spans genuinely disjoint per document, so span_tokens sums are
+    # exact removed-token totals. A pos gap of exactly k yields adjacent but
+    # disjoint spans and correctly stays two islands.
     isl_w = Window.partitionBy(id_col).orderBy("pos")
     d = d.select(
-        id_col, "pos", (F.col("pos") - F.row_number().over(isl_w)).alias("_grp")
+        id_col,
+        "pos",
+        F.when(F.col("pos") - F.lag("pos").over(isl_w) < k, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("_new"),
+    )
+    d = d.select(
+        id_col,
+        "pos",
+        F.sum("_new")
+        .over(isl_w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_grp"),
     )
     return d.groupBy(id_col, "_grp").agg(
         F.min("pos").cast("long").alias("span_start"),

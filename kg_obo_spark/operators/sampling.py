@@ -124,8 +124,14 @@ def mixture_sample_rates(
     for s in sorted(counts):
         if weights[s] * counts[a] > weights[a] * counts[s]:
             a = s
+    # Clamp to >= 1 (r6 ADVICE): a stratum so overrepresented that its exact
+    # rate floors to 0 ((SAMPLE_MOD*w_s*n_a) < (n_s*w_a)) must be THINNED to
+    # ~1/SAMPLE_MOD, not silently dropped — dropping it breaks the requested
+    # mixture far worse than the sub-basis-point overshoot the clamp causes.
+    # Callers needing the exact mixture at that skew should raise SAMPLE_MOD
+    # granularity. The DuckDB oracle mirrors the clamp (greatest(1, ...)).
     return {
-        s: (SAMPLE_MOD * weights[s] * counts[a]) // (n * weights[a])
+        s: max(1, (SAMPLE_MOD * weights[s] * counts[a]) // (n * weights[a]))
         for s, n in counts.items()
     }
 

@@ -87,13 +87,17 @@ def get_spark(
     # "put spark.local.dir on fast local disks/ramdisk" deployment knob;
     # SPARK_LOCAL_DIRS (standard Spark env) still takes precedence.
     #
-    # Guardrails (r6 review): tmpfs bounds spill by RAM, so (a) it is only
-    # chosen when the mount has headroom (>= 4 GiB free — small local-mode
-    # shuffles, the benchmark corpus, and tests fit easily; a job expecting
-    # corpus-scale spill should set SPARK_LOCAL_DIRS to provisioned disks or
-    # export SPARK_GRAFT_TMPFS_SCRATCH=0), and (b) scratch subdirs leaked by
-    # killed JVMs (graceful stops clean up after themselves) are swept after
-    # a day so they cannot permanently shrink the mount.
+    # Guardrails (r6 review, tightened r7): tmpfs bounds spill by RAM, so
+    # (a) it is only chosen when the mount has headroom (>= 4 GiB free —
+    # small local-mode shuffles, the benchmark corpus, and tests fit easily;
+    # the check runs once at session start, so a job expecting corpus-scale
+    # spill MUST set SPARK_LOCAL_DIRS to provisioned disks or export
+    # SPARK_GRAFT_TMPFS_SCRATCH=0 — tmpfs ENOSPC mid-job is not recoverable),
+    # and (b) each session gets its OWN scratch subdir named after the owning
+    # driver PID; the sweep only removes subdirs whose owner process is gone
+    # (liveness via kill(pid, 0)), never an mtime heuristic, so a
+    # long-running concurrent session can never have live shuffle/blockmgr
+    # dirs deleted out from under it by a newly starting one.
     if (
         "SPARK_LOCAL_DIRS" not in os.environ
         and os.environ.get("SPARK_GRAFT_TMPFS_SCRATCH", "1") != "0"
@@ -101,20 +105,28 @@ def get_spark(
         shm = os.environ.get("SPARK_GRAFT_SHM_DIR", "/dev/shm")
         if os.path.isdir(shm) and os.access(shm, os.W_OK):
             import shutil
-            import time
 
             if shutil.disk_usage(shm).free >= 4 << 30:
                 local_root = os.path.join(shm, "kg_obo_spark_local")
                 os.makedirs(local_root, exist_ok=True)
-                cutoff = time.time() - 86400
                 for entry in os.listdir(local_root):
                     p = os.path.join(local_root, entry)
                     try:
-                        if os.path.getmtime(p) < cutoff:
-                            shutil.rmtree(p, ignore_errors=True)
-                    except OSError:
-                        pass  # concurrent session cleaned it up first
-                builder = builder.config("spark.local.dir", local_root)
+                        owner = int(entry.rsplit("-", 1)[-1])
+                    except ValueError:
+                        # Pre-r7 layout (un-owned dirs) — remove; any JVM
+                        # still using one predates the PID scheme.
+                        shutil.rmtree(p, ignore_errors=True)
+                        continue
+                    try:
+                        os.kill(owner, 0)  # owner alive -> leave it alone
+                    except ProcessLookupError:
+                        shutil.rmtree(p, ignore_errors=True)
+                    except PermissionError:
+                        pass  # alive but other-uid: leave it alone
+                scratch = os.path.join(local_root, f"pid-{os.getpid()}")
+                os.makedirs(scratch, exist_ok=True)
+                builder = builder.config("spark.local.dir", scratch)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

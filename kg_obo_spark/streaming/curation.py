@@ -14,22 +14,33 @@ The benchmark side is static by definition (an eval set), so its gram set
 is materialized ONCE before the stream starts — the same boundedness
 assumption the batch operator's broadcast join makes.
 
-Token model: Python ``str.split()``, which equals the shared ``tokens()``
-whitespace-run model on ASCII corpora (the same documented contract as
-simhash_frame_md5 — non-ASCII whitespace would need a regexp split on both
-sides). Equivalence with the batch operator is pinned per micro-batch in
-tests/test_streaming_curation.py.
+Token model: :func:`~kg_obo_spark.functions.text.py_tokens`, the exact
+Python mirror of the engine-wide Java ``\\s+`` (ASCII) ``tokens()`` model —
+pre-r7 this used ``str.split()`` (Unicode whitespace), which silently
+diverged on U+00A0/U+2028 corpora. Equivalence with the batch operator is
+pinned per micro-batch in tests/test_streaming_curation.py.
+
+Throughput (r7): the gram PROBE is vectorized — grams for a whole Arrow
+batch are hashed in one ``pd.util.hash_array`` call (keyed siphash, C) and
+membership-tested against the pre-hashed, sorted benchmark gram array with
+one ``np.searchsorted`` pass, then per-document sums via ``np.add.reduceat``
+over batch offsets. The only per-row Python left is gram-string
+construction (the same cost the batch operator pays JVM-side). A 64-bit
+hash collision between a corpus gram and a DIFFERENT benchmark gram would
+miscount by one (probability ~ n_grams * n_bench / 2^64 — negligible, and
+the stream==batch equivalence test would catch a systematic break).
 """
 
 from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kg_obo_spark.functions.text import tokens
+from kg_obo_spark.functions.text import py_tokens, tokens
 
 
 def benchmark_gram_set(
@@ -65,31 +76,44 @@ def stream_ngram_contamination(
     contamination_frac) against the static ``benchmark``. Documents with
     fewer than ``n`` tokens produce no row (as in the batch operator).
     Stateless — safe in append mode, no watermark needed."""
-    bench_bc = spark.sparkContext.broadcast(
-        benchmark_gram_set(benchmark, n=n, text_col=text_col)
+    bench_grams = benchmark_gram_set(benchmark, n=n, text_col=text_col)
+    bench_hashes = np.sort(
+        pd.util.hash_array(np.asarray(sorted(bench_grams), dtype=object))
     )
+    bench_bc = spark.sparkContext.broadcast(bench_hashes)
     id_type = doc_stream.schema[id_col].dataType.simpleString()
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bench = bench_bc.value
         for pdf in batches:
-            ids, n_grams, n_cont, fracs = [], [], [], []
+            ids, n_grams_l, all_grams, offsets = [], [], [], [0]
             for i, text in zip(pdf[id_col], pdf[text_col].astype(str)):
-                ws = text.split()
+                ws = py_tokens(text)
                 if len(ws) < n:
                     continue
-                grams = {" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)}
-                c = sum(1 for g in grams if g in bench)
+                grams = dict.fromkeys(
+                    " ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)
+                )
                 ids.append(i)
-                n_grams.append(len(grams))
-                n_cont.append(c)
-                fracs.append(c / len(grams))
+                n_grams_l.append(len(grams))
+                all_grams.extend(grams)
+                offsets.append(len(all_grams))
+            if all_grams and len(bench):
+                h = pd.util.hash_array(np.asarray(all_grams, dtype=object))
+                pos = np.searchsorted(bench, h)
+                hit = (pos < len(bench)) & (bench[np.minimum(pos, len(bench) - 1)] == h)
+                n_cont = np.add.reduceat(hit.astype(np.int64), offsets[:-1])
+            else:
+                n_cont = np.zeros(len(ids), dtype=np.int64)
+            n_grams = np.asarray(n_grams_l, dtype=np.int64)
             yield pd.DataFrame(
                 {
                     id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
                     "n_distinct_grams": pd.Series(n_grams, dtype="int64"),
                     "n_contaminated": pd.Series(n_cont, dtype="int64"),
-                    "contamination_frac": pd.Series(fracs, dtype="float64"),
+                    "contamination_frac": pd.Series(
+                        n_cont / np.maximum(n_grams, 1), dtype="float64"
+                    ),
                 }
             )
 

@@ -200,7 +200,9 @@ def test_near_dup_groups_composes_with_jaccard(spark):
 
 
 def _brute_duplicate_spans(texts: dict[int, str], k: int, min_count: int = 2):
-    """Reference: per-position k-grams, corpus-wide counts, maximal runs."""
+    """Reference: per-position k-grams, corpus-wide counts, maximal runs.
+    Runs merge whenever the position gap is < k (r7 island rule) so the
+    emitted token spans are disjoint per document."""
     from collections import Counter
 
     grams = {
@@ -214,7 +216,7 @@ def _brute_duplicate_spans(texts: dict[int, str], k: int, min_count: int = 2):
         dup = [i for i, g in enumerate(gs) if freq[g] >= min_count]
         run = []
         for p in dup:
-            if run and p == run[-1] + 1:
+            if run and p - run[-1] < k:
                 run.append(p)
             else:
                 if run:
@@ -245,6 +247,35 @@ def test_duplicate_spans_match_brute_force(spark):
     }
     assert got == _brute_duplicate_spans(texts, k=3)
     assert any(d == 2 for d, _, _ in got)  # within-doc repeats count
+
+
+def test_duplicate_spans_disjoint_on_close_islands(spark):
+    """r6 ADVICE: duplicated gram positions {0, 2} with k=5 used to emit
+    token spans [0,5) and [2,7), which OVERLAP — the island rule must merge
+    islands whose position gap is < k so spans are disjoint per document and
+    span_tokens sums are exact removed-token totals."""
+    from kg_obo_spark.operators.dedup import duplicate_spans
+
+    texts = {
+        0: "p q r s t u v",  # dup grams at pos 0 ("p q r s t") and 2 ("r s t u v")
+        1: "p q r s t",      # duplicates doc 0's gram at pos 0
+        2: "r s t u v",      # duplicates doc 0's gram at pos 2
+    }
+    df = spark.createDataFrame(sorted(texts.items()), "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_tokens)
+        for r in duplicate_spans(df, k=5).collect()
+    }
+    assert got == {(0, 0, 7), (1, 0, 5), (2, 0, 5)}
+    assert got == _brute_duplicate_spans(texts, k=5)
+    # per-doc disjointness invariant
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for d, s, n in got:
+        by_doc.setdefault(d, []).append((s, n))
+    for spans in by_doc.values():
+        spans.sort()
+        for (s0, n0), (s1, _) in zip(spans, spans[1:]):
+            assert s0 + n0 <= s1
 
 
 def test_duplicate_spans_args_and_partition_independence(spark):

@@ -311,13 +311,16 @@ def test_ngram_family_and_line_repetition_single_exchange(spark):
     assert got == {(1, 2): 3, (1, 3): 2, (1, 4): 1, (2, 2): 4, (2, 3): 3, (2, 4): 2}
 
     ldf = spark.createDataFrame(
-        [(1, "a b\nc d\na b\n\n  "), (2, "solo")], "doc_id long, text string"
+        [(1, "a b\nc d\na b\n\n  "), (2, "solo"), (3, "a b\r\nc d\r\na b\r\n\r\n ")],
+        "doc_id long, text string",
     )
     lr = line_repetition_stats(ldf)
     lplan = _plan(lr)
     assert lplan.count("Exchange") == 1
     rows = {x["doc_id"]: (x["n_lines"], x["n_distinct_lines"]) for x in lr.collect()}
-    assert rows == {1: (3, 2), 2: (1, 1)}
+    # doc 3 is the CRLF twin of doc 1 (r6 ADVICE): identical line stats —
+    # no trailing \r may survive to make equal lines count as distinct
+    assert rows == {1: (3, 2), 2: (1, 1), 3: (3, 2)}
 
 
 def test_ngram_contamination_broadcast_and_single_corpus_exchange(spark):

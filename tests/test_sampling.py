@@ -215,6 +215,23 @@ def test_mixture_resample_hits_target_mixture(spark):
     assert sorted(map(tuple, kept)) == sorted(map(tuple, b))
 
 
+def test_mixture_rate_floors_to_one_not_zero(spark):
+    """r6 ADVICE: a stratum overrepresented enough that its exact rate
+    floor-divides to 0 is clamped to rate 1 (thinned to ~1/SAMPLE_MOD), not
+    silently dropped — the kept sample must still contain every weighted
+    stratum present in the data."""
+    from kg_obo_spark.operators.sampling import mixture_sample_rates
+
+    n_big = SAMPLE_MOD * 2 + 1  # (MOD * 1 * 1) // n_big == 0 before the clamp
+    df = spark.createDataFrame(
+        [("en", i) for i in range(n_big)] + [("zh", 0)],
+        "lang string, doc_id long",
+    )
+    rates = mixture_sample_rates(df, "lang", {"en": 1, "zh": 1})
+    assert rates["zh"] == SAMPLE_MOD  # anchor: scarcest per weight
+    assert rates["en"] == 1  # clamped, not dropped
+
+
 def test_mixture_weights_validated(spark):
     from kg_obo_spark.operators.sampling import mixture_sample_rates
 
