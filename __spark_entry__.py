@@ -707,6 +707,26 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, budget=512, n_shards=16, seed=1)
 
 
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing under the SUBWORD token model (r7): the same
+    (seed 1, 16 shards, 512 budget) concat-and-chunk layout as
+    pack_sequences, but budgets counted in GreedyWordpiece pieces — the
+    token model a training run actually consumes (~1.8x whitespace counts
+    on this corpus). The tokenizer is a map-side, worker-memoized
+    mapInPandas stage, so the plan keeps pack's ONE exchange (plan-pinned
+    in tests/test_tokenizer.py). The DuckDB oracle recomputes the greedy
+    max-munch segmentation with a recursive CTE over the LITERAL shared
+    vocabulary (one source of truth: DEFAULT_WORDPIECE_VOCAB), so every
+    subword slice boundary is value-verified cross-engine."""
+    from kg_obo_spark.functions.tokenizer import GreedyWordpiece
+    from kg_obo_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        d, budget=512, n_shards=16, seed=1, tokenizer=GreedyWordpiece()
+    )
+
+
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplicate spans (r6): maximal runs of >= 5 consecutive
     tokens whose every 5-gram repeats corpus-wide (the Lee et al. 2022
@@ -1607,6 +1627,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "epoch_shards": q_epoch_shards,
         "pack_sequences": q_pack_sequences,
+        "pack_sequences_bpe": q_pack_sequences_bpe,
         "duplicate_spans": q_duplicate_spans,
         "corpus_scrub_spans": q_corpus_scrub_spans,
         "top_terms_tfidf": q_top_terms_tfidf,
@@ -1676,6 +1697,69 @@ def _lsh_signature_sql(col: str) -> str:
             f" THEN {1 << j} ELSE 0 END)"
         )
     return "CAST(" + "\n             + ".join(terms) + " AS BIGINT)"
+
+
+def _wordpiece_pack_sql() -> str:
+    """DuckDB mirror of q_pack_sequences_bpe, generated from the SAME
+    DEFAULT_WORDPIECE_VOCAB the Spark tokenizer uses (one source of truth):
+    greedy max-munch segmentation as a recursive CTE over the corpus's
+    DISTINCT words (the oracle-side twin of the worker memo) — each step
+    advances by the longest vocab piece prefixing the rest of the word,
+    else one character — then the identical pack_sequences epoch/window/
+    slice arithmetic over the subword counts."""
+    from kg_obo_spark.functions.tokenizer import DEFAULT_WORDPIECE_VOCAB
+
+    vals = ", ".join(f"('{p}')" for p in DEFAULT_WORDPIECE_VOCAB)
+    return f"""
+        WITH RECURSIVE v(piece) AS (VALUES {vals}),
+        w AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    tk -> len(tk) > 0)) AS word
+          FROM documents
+        ),
+        dw AS (SELECT DISTINCT word FROM w),
+        seg(word, pos, n) AS (
+          SELECT word, 0, 0 FROM dw
+          UNION ALL
+          SELECT word,
+                 pos + coalesce((SELECT max(len(piece)) FROM v
+                                 WHERE piece = substr(word, pos + 1,
+                                                      len(piece))), 1),
+                 n + 1
+          FROM seg WHERE pos < len(word)
+        ),
+        wp AS (SELECT word, max(n) AS n_pieces FROM seg GROUP BY word),
+        t AS (
+          SELECT w.doc_id,
+                 CAST(CAST(CONCAT('0x',
+                      substr(md5('1:' || CAST(w.doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 16 AS INTEGER) AS shard,
+                 md5('1:' || CAST(w.doc_id AS VARCHAR)) AS order_key,
+                 CAST(sum(wp.n_pieces) AS BIGINT) AS n_tok
+          FROM w JOIN wp USING (word) GROUP BY w.doc_id
+        ),
+        s AS (
+          SELECT doc_id, shard, n_tok,
+                 CAST(sum(n_tok) OVER (PARTITION BY shard
+                                       ORDER BY order_key, doc_id
+                                       ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS tok_end
+          FROM t WHERE n_tok > 0
+        ),
+        b AS (
+          SELECT shard, doc_id, tok_end - n_tok AS tok_start, tok_end,
+                 unnest(generate_series((tok_end - n_tok) // 512,
+                                        (tok_end - 1) // 512)) AS seq_id
+          FROM s
+        )
+        SELECT shard, seq_id, doc_id,
+               greatest(tok_start, seq_id * 512) - seq_id * 512 AS seq_pos,
+               greatest(tok_start, seq_id * 512) - tok_start AS doc_offset,
+               least(tok_end, (seq_id + 1) * 512)
+                 - greatest(tok_start, seq_id * 512) AS n_tokens
+        FROM b
+        """
 
 
 def _pii_oracle_sql() -> str:
@@ -2770,6 +2854,7 @@ def all_oracle_sql() -> dict[str, str]:
         GROUP BY dg.doc_id
         """,
         "text_pii_scrub": _pii_oracle_sql(),
+        "pack_sequences_bpe": _wordpiece_pack_sql(),
         "text_quality": r"""
         SELECT doc_id, CAST(floor((
             0.4 * least(len(text) / 500.0, 1.0)

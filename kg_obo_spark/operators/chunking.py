@@ -45,6 +45,7 @@ def chunk_documents(
     stride: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenizer=None,
 ) -> DataFrame:
     """Split each document into overlapping token windows.
 
@@ -58,6 +59,13 @@ def chunk_documents(
 
     ``stride`` defaults to ``chunk_tokens`` (disjoint chunks); a smaller
     stride overlaps consecutive windows by ``chunk_tokens - stride`` tokens.
+
+    ``tokenizer`` plugs a subword token model into the window arithmetic
+    (e.g. :class:`~kg_obo_spark.functions.tokenizer.GreedyWordpiece`;
+    ``chunk_text`` is then the subword pieces joined by spaces); ``None``
+    keeps the whitespace ``tokens()`` model. The tokenizer's
+    ``pieces_frame`` is a map-side stage, so the zero-exchange plan shape
+    is unchanged either way.
     """
     if chunk_tokens <= 0:
         raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
@@ -67,7 +75,10 @@ def chunk_documents(
         raise ValueError(
             f"stride must be in (0, chunk_tokens={chunk_tokens}], got {stride}"
         )
-    d = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    if tokenizer is None:
+        d = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    else:
+        d = tokenizer.pieces_frame(df, id_col=id_col, text_col=text_col)
     d = d.select(
         id_col, "_toks", F.size("_toks").cast("long").alias("n_tok")
     ).filter(F.col("n_tok") > 0)

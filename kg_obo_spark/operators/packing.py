@@ -48,6 +48,7 @@ def pack_sequences(
     seed: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenizer=None,
 ) -> DataFrame:
     """Map every document onto the fixed-``budget`` training sequences it
     occupies under concat-and-chunk packing of the (seed, n_shards) epoch
@@ -67,15 +68,28 @@ def pack_sequences(
 
     Every sequence of a shard except its last is exactly ``budget`` tokens
     full; per-document slices are contiguous and partition the document.
+
+    ``tokenizer`` plugs a subword token model into the budget arithmetic
+    (e.g. :class:`~kg_obo_spark.functions.tokenizer.GreedyWordpiece`, so
+    sequence boundaries match what a training run actually consumes);
+    ``None`` keeps the whitespace ``token_count`` model. The tokenizer's
+    ``counts_frame`` is a map-side stage, so the one-exchange plan shape
+    is unchanged either way.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    d = epoch_shard_assignment(df, n_shards=n_shards, seed=seed, id_col=id_col)
+    if tokenizer is None:
+        counts = df.select(
+            F.col(id_col), token_count(F.col(text_col)).alias("n_tok")
+        )
+    else:
+        counts = tokenizer.counts_frame(df, id_col=id_col, text_col=text_col)
+    d = epoch_shard_assignment(counts, n_shards=n_shards, seed=seed, id_col=id_col)
     d = d.select(
         "shard",
         "order_key",
         F.col(id_col),
-        token_count(F.col(text_col)).alias("n_tok"),
+        "n_tok",
     ).filter(F.col("n_tok") > 0)
     w = (
         Window.partitionBy("shard")
