@@ -756,12 +756,26 @@ def q_corpus_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup applied end-to-end (r6): duplicate_spans(k=5)
     piped into scrub_spans — every document comes back with its duplicated
     runs cut out plus the removed-token count (aggressive cut-all policy;
-    the keep-first policy is a caller-side span filter). The clean_text
-    string itself is value-verified cross-engine."""
+    see q_corpus_scrub_spans_keepfirst for the production keep-one mode).
+    The clean_text string itself is value-verified cross-engine."""
     from kg_obo_spark.operators.dedup import duplicate_spans, scrub_spans
 
     d = _t(spark, sf_dir, "documents")
     return scrub_spans(d, duplicate_spans(d, k=5))
+
+
+def q_corpus_scrub_spans_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, KEEP-FIRST policy (r7): one canonical
+    occurrence of each duplicated run survives (the global first by
+    (doc_id, span_start) per normalized run text — Lee et al. 2022's
+    deployed mode), every other occurrence is cut. The cut set is a strict
+    subset of q_corpus_scrub_spans's, so corpora keep one copy of repeated
+    boilerplate instead of losing it everywhere. clean_text value-verified
+    cross-engine; fuzz-tested vs brute force in tests/test_dedup.py."""
+    from kg_obo_spark.operators.dedup import scrub_spans_keepfirst
+
+    d = _t(spark, sf_dir, "documents")
+    return scrub_spans_keepfirst(d, k=5)
 
 
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1630,6 +1644,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_bpe": q_pack_sequences_bpe,
         "duplicate_spans": q_duplicate_spans,
         "corpus_scrub_spans": q_corpus_scrub_spans,
+        "corpus_scrub_spans_keepfirst": q_corpus_scrub_spans_keepfirst,
         "top_terms_tfidf": q_top_terms_tfidf,
         "chunk_documents": q_chunk_documents,
         "mixture_resample": q_mixture_resample,
@@ -2855,6 +2870,92 @@ def all_oracle_sql() -> dict[str, str]:
         """,
         "text_pii_scrub": _pii_oracle_sql(),
         "pack_sequences_bpe": _wordpiece_pack_sql(),
+        # keep-first scrub: the duplicate_spans chain (r7 merged-island rule),
+        # run text sliced per span, global-first occurrence per distinct run
+        # KEPT (row_number over (run) ordered by doc_id, s0), every other
+        # occurrence cut via the same per-token NOT EXISTS scrub.
+        "corpus_scrub_spans_keepfirst": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             tk -> len(tk) > 0) AS toks
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, toks, len(toks) AS n_tok FROM t WHERE len(toks) >= 5
+        ),
+        g AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(0, n_tok - 5)) AS pos
+          FROM s
+        ),
+        gp AS (
+          SELECT doc_id, pos,
+                 array_to_string(list_slice(toks, pos + 1, pos + 5), ' ') AS gram
+          FROM g
+        ),
+        d AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS cnt
+            FROM gp
+          ) WHERE cnt >= 2
+        ),
+        fl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                ORDER BY pos) < 5
+                      THEN 0 ELSE 1 END AS new_island
+          FROM d
+        ),
+        i AS (
+          SELECT doc_id, pos,
+                 SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS grp
+          FROM fl
+        ),
+        spans AS (
+          SELECT doc_id, min(pos) AS s0, max(pos) + 5 AS s1
+          FROM i GROUP BY doc_id, grp
+        ),
+        runs AS (
+          SELECT sp.doc_id, sp.s0, sp.s1,
+                 array_to_string(list_slice(t.toks, sp.s0 + 1, sp.s1), ' ')
+                   AS run
+          FROM spans sp JOIN t USING (doc_id)
+        ),
+        cut AS (
+          SELECT doc_id, s0, s1 FROM (
+            SELECT doc_id, s0, s1,
+                   row_number() OVER (PARTITION BY run
+                                      ORDER BY doc_id, s0) AS rn
+            FROM runs
+          ) WHERE rn > 1
+        ),
+        p AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(0, len(toks) - 1)) AS pos
+          FROM t WHERE len(toks) > 0
+        ),
+        kept AS (
+          SELECT p.doc_id, p.pos, p.toks[p.pos + 1] AS tok
+          FROM p
+          WHERE NOT EXISTS (
+            SELECT 1 FROM cut sp
+            WHERE sp.doc_id = p.doc_id AND p.pos >= sp.s0 AND p.pos < sp.s1
+          )
+        ),
+        agg AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               COALESCE(agg.clean_text, '') AS clean_text,
+               CAST(len(t.toks) - COALESCE(agg.n_kept, 0) AS BIGINT)
+                 AS n_removed_tokens
+        FROM t LEFT JOIN agg USING (doc_id)
+        """,
+
         "text_quality": r"""
         SELECT doc_id, CAST(floor((
             0.4 * least(len(text) / 500.0, 1.0)

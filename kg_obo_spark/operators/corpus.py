@@ -90,8 +90,19 @@ def clean_corpus_flags(
         F.col("keep").alias("q"),
         ((F.col("keep") == 1) & (F.col("id") == keeper)).cast("int").alias("d"),
     )
+    # Decontaminate ONLY dedup survivors (r6 VERDICT): `_cfrac` is consulted
+    # solely where d == 1, so grams of quality-rejected and duplicate
+    # documents can never flip a flag — scanning them just inflates the
+    # contamination stage's corpus-side exchange (30-50% wasted volume on
+    # dirty corpora). The id-only semi-join ships ids, not text or grams;
+    # AQE exchange reuse serves `flagged`'s fingerprint shuffle to both
+    # consumers (identical subtree), so this adds no second corpus scan.
+    survivors = flagged.filter(F.col("d") == 1).select(
+        F.col("id").alias(id_col)
+    )
     contam = ngram_contamination(
-        df, benchmark, n=n, id_col=id_col, text_col=text_col,
+        df.join(survivors, id_col, "left_semi"),
+        benchmark, n=n, id_col=id_col, text_col=text_col,
         bench_text_col=bench_text_col,
     ).select(
         F.col(id_col).alias("id"),

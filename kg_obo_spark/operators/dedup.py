@@ -797,6 +797,68 @@ def scrub_spans(
     )
 
 
+def scrub_spans_keepfirst(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup with the KEEP-FIRST policy — the production
+    deployment mode of Lee et al. 2022 (§4: keep one occurrence of each
+    duplicated substring, cut the rest), as opposed to
+    :func:`scrub_spans`'s cut-all.
+
+    Canonical-occurrence rule (r6 VERDICT spec): a duplicated RUN is a
+    :func:`duplicate_spans` span's normalized token string (spans are
+    maximal and disjoint per document, so the run text identifies the
+    repeated content); the canonical occurrence of each distinct run is the
+    global first by ``(doc_id, span_start)``, which is KEPT — every other
+    occurrence of that run is cut. Maximal runs that merged differently in
+    different documents (e.g. a superstring run) have different run text
+    and are canonicalized per distinct text — a documented approximation of
+    the suffix-cluster policy; the cut set is still always a subset of
+    :func:`duplicate_spans`, so nothing non-duplicated is ever removed.
+
+    Returns (``id_col``, ``clean_text``, ``n_removed_tokens``) for every
+    input document, like :func:`scrub_spans`.
+
+    Dataflow: duplicate_spans (two exchanges) -> id-keyed join back to the
+    corpus tokens to slice each span's run text (spans are a small fraction
+    of corpus rows) -> ONE exchange on ``run`` for the global-first window
+    -> the scrub join. Never a spans self-join; the ranking shuffles span
+    rows only (id, offsets, run text), never whole documents."""
+    spans = duplicate_spans(
+        df, k=k, id_col=id_col, text_col=text_col, min_count=min_count
+    )
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    sp = spans.join(toked, id_col).select(
+        F.col(id_col),
+        "span_start",
+        "span_tokens",
+        F.array_join(
+            F.slice(
+                "_toks",
+                F.col("span_start").cast("int") + 1,
+                F.col("span_tokens").cast("int"),
+            ),
+            " ",
+        ).alias("_run"),
+    )
+    first_w = Window.partitionBy("_run").orderBy(id_col, "span_start")
+    cut = (
+        sp.select(
+            F.col(id_col),
+            "span_start",
+            "span_tokens",
+            F.row_number().over(first_w).alias("_rn"),
+        )
+        .filter(F.col("_rn") > 1)
+        .select(id_col, "span_start", "span_tokens")
+    )
+    return scrub_spans(df, cut, id_col=id_col, text_col=text_col)
+
+
 # ------------------------------------------------------------ dedup groups
 
 

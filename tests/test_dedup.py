@@ -350,6 +350,60 @@ def test_scrub_spans_removes_exact_duplicate_runs(spark):
     assert out[3].n_removed_tokens == 0
 
 
+def _brute_scrub_keepfirst(texts: dict[int, str], k: int, min_count: int = 2):
+    """Reference keep-first scrub: group spans by run text, keep the global
+    first (doc_id, span_start) occurrence of each run, cut the rest."""
+    spans = _brute_duplicate_spans(texts, k, min_count)
+    runs: dict[str, list[tuple[int, int, int]]] = {}
+    for d, s, n in spans:
+        run = " ".join(texts[d].split()[s : s + n])
+        runs.setdefault(run, []).append((d, s, n))
+    cut: dict[int, set[int]] = {}
+    for occ in runs.values():
+        for d, s, n in sorted(occ)[1:]:
+            cut.setdefault(d, set()).update(range(s, s + n))
+    out = {}
+    for d, t in texts.items():
+        toks = t.split()
+        c = cut.get(d, set())
+        kept = [tk for i, tk in enumerate(toks) if i not in c]
+        out[d] = (" ".join(kept), len(toks) - len(kept))
+    return out
+
+
+def test_scrub_spans_keepfirst_keeps_canonical_occurrence(spark):
+    """Keep-first: the global-first occurrence of each duplicated run
+    survives, later occurrences are cut; a purely WITHIN-doc repeat merges
+    to one span whose run text is unique, so it is its own canonical
+    occurrence and survives whole (documented span-granularity policy)."""
+    from kg_obo_spark.operators.dedup import scrub_spans, scrub_spans_keepfirst
+    from kg_obo_spark.operators.dedup import duplicate_spans
+
+    texts = {
+        0: "h1 c d e f h2 h3",    # first occurrence of "c d e f" -> kept
+        1: "x y c d e f z w",     # second occurrence -> cut
+        2: "q r c d e f s t",     # third occurrence -> cut
+        3: "p q r p q r p q r",   # internal repeat: unique run text, kept
+        4: "",
+    }
+    df = spark.createDataFrame(sorted(texts.items()), "doc_id long, text string")
+    out = {r.doc_id: r for r in scrub_spans_keepfirst(df, k=4).collect()}
+    want = _brute_scrub_keepfirst(texts, k=4)
+    assert {d: (r.clean_text, r.n_removed_tokens) for d, r in out.items()} == want
+    assert out[0].clean_text == texts[0]          # canonical kept whole
+    assert out[0].n_removed_tokens == 0
+    assert out[1].clean_text == "x y z w"
+    assert out[3].clean_text == texts[3]          # internal repeat survives
+    # keep-first cuts strictly less than cut-all wherever a run repeats
+    cutall = {
+        r.doc_id: r.n_removed_tokens
+        for r in scrub_spans(df, duplicate_spans(df, k=4)).collect()
+    }
+    assert sum(cutall.values()) > sum(r.n_removed_tokens for r in out.values())
+    for d in texts:
+        assert out[d].n_removed_tokens <= cutall[d]
+
+
 def test_scrub_spans_partition_independent(spark):
     from kg_obo_spark.operators.dedup import duplicate_spans, scrub_spans
 

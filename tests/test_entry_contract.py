@@ -68,14 +68,14 @@ def test_every_query_has_callable_and_runs_registered():
     # the driver records at most 50 CORRECTNESS rows (r1+r2 evidence): a
     # registry over the cap silently loses driver verification for the tail
     assert len(qs) <= entrymod.DRIVER_QUERY_CAP
-    # the r6 oracle graduations (rows-only in every prior round) must hold a
-    # driver slot this round so their first value-verified row lands; the
-    # rest of the r2-cap debt (publish_dead_links, set_diff_except,
-    # multimodal_decode) was paid with green rows in r4/r5 and now follows
-    # the normal every-other-round rotation
+    # queries new this round must hold a driver slot so their first
+    # CORRECTNESS row lands; everything with a green row in the last two
+    # rounds follows the normal every-other-round rotation (the r6
+    # graduations — pipeline_transcripts, minhash/simhash, ann_ivf,
+    # emb_near_dup_lsh — earned theirs in CORRECTNESS_r06 and are parked
+    # for r7)
     must_check = {
-        "pipeline_transcripts", "dedup_minhash", "dedup_simhash",
-        "ann_ivf", "emb_near_dup_lsh",
+        "pack_sequences_bpe", "corpus_scrub_spans_keepfirst",
     }
     assert must_check <= set(qs)
     # rotated-out entries still exist and (when oracled) stay parity-checked

@@ -377,6 +377,24 @@ def test_duplicate_spans_matches_python_fuzz(spark, docs, k):
 
 
 @_slow
+@given(docs=_docs_st, k=st.integers(min_value=2, max_value=3))
+def test_scrub_keepfirst_matches_python_fuzz(spark, docs, k):
+    """Keep-first exact-substring scrub equals the brute reference (spans ->
+    group by run text -> keep global-first occurrence -> cut the rest) on
+    arbitrary corpora."""
+    from kg_obo_spark.operators.dedup import scrub_spans_keepfirst
+    from tests.test_dedup import _brute_scrub_keepfirst
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed_tokens)
+        for r in scrub_spans_keepfirst(df, k=k).collect()
+    }
+    assert got == _brute_scrub_keepfirst(dict(rows), k=k)
+
+
+@_slow
 @given(docs=_docs_st, k=st.integers(min_value=1, max_value=3))
 def test_top_terms_tfidf_matches_python(spark, docs, k):
     """Exact-integer TF-IDF top-k (scores, ties, ranks) equals a Counter
