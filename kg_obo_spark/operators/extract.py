@@ -257,6 +257,91 @@ def extract_turn_terms(
     )
 
 
+def extract_turn_ranks(
+    transcripts: DataFrame,
+    onto: Ontology,
+    canon: dict[str, str] | None = None,
+    degradation_level: int = 0,
+) -> DataFrame:
+    """Vocab-int variant of :func:`extract_turn_terms`: (conv_id, turn_idx,
+    ranks array<int>) — per-turn sorted distinct CANONICAL term ids as
+    integer ranks into the matcher's sorted canonical term table
+    (``canon_rank_table``'s ``cu``; rank order == lexicographic string
+    order, so downstream a < b pair semantics are identical).
+
+    This is the skinny-shuffle path for edge materialization (ROADMAP #1):
+    the pair-expansion distinct then shuffles two int32s per row instead of
+    two CURIE strings, and the final unmap back to strings is a pure
+    ``element_at`` projection against the literal ``cu`` array — no joins.
+    Use :func:`kg_obo_spark.operators.materialize.edges_from_per_turn_ranks`
+    to consume it; get ``cu`` driver-side via
+    ``get_matcher(onto, level).canon_rank_table(canon)[1]``."""
+    canon = canon or {}
+
+    def scan(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        matcher = get_matcher(onto, degradation_level)
+        for rb in batches:
+            schema = rb.schema
+            texts = rb.column(schema.get_field_index("text")).to_pylist()
+            cols = matcher.find_batch_columnar(
+                texts, best_only=True, need_surface=False, as_ranks=True
+            )
+            cr_table, cu = matcher.canon_rank_table(canon)
+            if cols is not None:
+                row, _st, _en, _surf, ranks, _sc = cols
+                if row.size == 0:
+                    continue
+                key = row.astype(np.int64) * len(cu) + cr_table[ranks]
+                ukey = np.unique(key)
+                rows2 = ukey // len(cu)
+                cr2 = (ukey % len(cu)).astype(np.int32)
+                urows, counts = np.unique(rows2, return_counts=True)
+                offsets = np.zeros(urows.shape[0] + 1, dtype=np.int32)
+                np.cumsum(counts, out=offsets[1:])
+                ranks_arr = pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array(cr2, type=pa.int32())
+                )
+                idx = pa.array(urows, type=pa.int32())
+                yield pa.record_batch(
+                    [
+                        rb.column(schema.get_field_index("conv_id")).take(idx),
+                        rb.column(schema.get_field_index("turn_idx")).take(idx),
+                        ranks_arr,
+                    ],
+                    names=["conv_id", "turn_idx", "ranks"],
+                )
+                continue
+            # regex fallback: map extracted term strings to canonical ranks
+            pos = {s: i for i, s in enumerate(cu)}
+            get = canon.get
+            bf = matcher.find_batch(texts, best_only=True)
+            keep_idx: list[int] = []
+            ranks_col: list[list[int]] = []
+            for i, found in enumerate(bf):
+                if not found:
+                    continue
+                keep_idx.append(i)
+                ranks_col.append(sorted({pos[get(t[3], t[3])] for t in found}))
+            if not keep_idx:
+                continue
+            idx = pa.array(keep_idx, type=pa.int32())
+            yield pa.record_batch(
+                [
+                    rb.column(schema.get_field_index("conv_id")).take(idx),
+                    rb.column(schema.get_field_index("turn_idx")).take(idx),
+                    pa.array(ranks_col, type=pa.list_(pa.int32())),
+                ],
+                names=["conv_id", "turn_idx", "ranks"],
+            )
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInArrow(
+        scan, schema="conv_id string, turn_idx int, ranks array<int>"
+    )
+
+
 def split_valid_turns(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(valid, errors): rows with null/empty text are diverted to an error
     frame instead of crashing the scan — the A8 error-count aggregation

@@ -136,6 +136,52 @@ def edges_from_per_turn(per_turn: DataFrame, onto: Ontology) -> DataFrame:
     return co.unionByName(isa_from_mentioned(mentioned, onto))
 
 
+def edges_from_per_turn_ranks(
+    per_turn_ranks: DataFrame, cu, onto: Ontology
+) -> DataFrame:
+    """Vocab-int edge materialization (ROADMAP #1): the same KGX edge table
+    as :func:`edges_from_per_turn`, but the pair-expansion distinct shuffles
+    integer RANKS (two int32s per row) instead of CURIE strings, and the
+    unmap back to strings is a pure ``element_at`` projection against the
+    literal sorted canonical term table ``cu`` — no unmap joins (the r3
+    experiment's cost center). Because ``cu`` is lexicographically sorted,
+    rank order == string order and the a < b pair set is identical to the
+    string path (pinned by tests/test_materialize_ranks.py).
+
+    ``per_turn_ranks`` is :func:`~kg_obo_spark.operators.extract.
+    extract_turn_ranks` output; ``cu`` is the matcher's
+    ``canon_rank_table(canon)[1]`` (driver-side)."""
+    cu_list = [str(s) for s in cu]
+    lit_cu = F.lit(cu_list)
+    first = per_turn_ranks.filter(F.size("ranks") >= 2).select(
+        F.posexplode("ranks").alias("_i", "a"),
+        F.col("ranks"),
+    )
+    co_pairs = (
+        first.select(
+            "a",
+            F.explode(
+                F.slice(F.col("ranks"), F.col("_i") + 2, F.size("ranks"))
+            ).alias("b"),
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    co = co_pairs.select(
+        F.element_at(lit_cu, F.col("a") + 1).alias("subject"),
+        F.lit(CO_MENTION_PREDICATE).alias("predicate"),
+        F.element_at(lit_cu, F.col("b") + 1).alias("object"),
+        F.lit(CO_MENTION_RELATION).alias("relation"),
+        F.lit(onto.knowledge_source).alias("knowledge_source"),
+    )
+    mentioned = (
+        per_turn_ranks.select(F.explode("ranks").alias("r"))
+        .distinct()
+        .select(F.element_at(lit_cu, F.col("r") + 1).alias("id"))
+    )
+    return co.unionByName(isa_from_mentioned(mentioned, onto))
+
+
 def build_isa_edges(mentions: DataFrame, onto: Ontology) -> DataFrame:
     """is_a edges of the ontology restricted to terms mentioned anywhere."""
     mentioned = mentions.select(F.col("term_id").alias("id")).distinct()
