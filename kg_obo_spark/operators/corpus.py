@@ -90,19 +90,21 @@ def clean_corpus_flags(
         F.col("keep").alias("q"),
         ((F.col("keep") == 1) & (F.col("id") == keeper)).cast("int").alias("d"),
     )
-    # Decontaminate ONLY dedup survivors (r6 VERDICT): `_cfrac` is consulted
-    # solely where d == 1, so grams of quality-rejected and duplicate
-    # documents can never flip a flag — scanning them just inflates the
-    # contamination stage's corpus-side exchange (30-50% wasted volume on
-    # dirty corpora). The id-only semi-join ships ids, not text or grams;
-    # AQE exchange reuse serves `flagged`'s fingerprint shuffle to both
-    # consumers (identical subtree), so this adds no second corpus scan.
-    survivors = flagged.filter(F.col("d") == 1).select(
-        F.col("id").alias(id_col)
-    )
+    # Contamination runs over the FULL corpus even though `_cfrac` is only
+    # consulted where d == 1. Scoping it to dedup survivors was MEASURED in
+    # r7 (BENCH/NEWOPS_R7.md, 100k-doc dirty corpus, 72% non-survivors,
+    # interleaved best-of-3) and every variant LOST: the survivor semi-join
+    # (11.3 s), a map-side quality-predicate pushdown (15.3 s — the Gopher
+    # regex flags cost ~3x the whole gram stage to recompute), and a
+    # localCheckpoint'd flags fan-out (12.4 s) all regress vs the
+    # full-corpus shape (9.4 s), because the flags branch and the
+    # contamination branch are INDEPENDENT subtrees that execute
+    # concurrently here — any scoping inserts a barrier that serializes
+    # them, and the gram exchange it shrinks is the cheapest stage of the
+    # pipeline. Revisit only if the gram exchange (network shuffle on a
+    # real cluster) ever dominates the map-side flag scan.
     contam = ngram_contamination(
-        df.join(survivors, id_col, "left_semi"),
-        benchmark, n=n, id_col=id_col, text_col=text_col,
+        df, benchmark, n=n, id_col=id_col, text_col=text_col,
         bench_text_col=bench_text_col,
     ).select(
         F.col(id_col).alias("id"),

@@ -20,15 +20,15 @@ pre-r7 this used ``str.split()`` (Unicode whitespace), which silently
 diverged on U+00A0/U+2028 corpora. Equivalence with the batch operator is
 pinned per micro-batch in tests/test_streaming_curation.py.
 
-Throughput (r7): the gram PROBE is vectorized — grams for a whole Arrow
-batch are hashed in one ``pd.util.hash_array`` call (keyed siphash, C) and
-membership-tested against the pre-hashed, sorted benchmark gram array with
-one ``np.searchsorted`` pass, then per-document sums via ``np.add.reduceat``
-over batch offsets. The only per-row Python left is gram-string
-construction (the same cost the batch operator pays JVM-side). A 64-bit
-hash collision between a corpus gram and a DIFFERENT benchmark gram would
-miscount by one (probability ~ n_grams * n_bench / 2^64 — negligible, and
-the stream==batch equivalence test would catch a systematic break).
+Throughput (r7 finding, BENCH/NEWOPS_R7.md): the per-gram ``g in set``
+probe IS the fast path. The r6-suggested vectorization (pd.util.hash_array
+over the batch's grams + np.searchsorted against a pre-hashed benchmark
+array) measured 4x SLOWER — CPython's cached str hash + O(1) set lookup
+(~50 ns/gram, C) beats keyed siphash (~1.2 us/string through pandas) plus a
+log-n binary search, exactly (no hash-collision caveat). The remaining cost
+is gram-STRING construction, which the batch operator pays JVM-side too;
+if this stage ever bottlenecks a production stream, the lever is fewer/
+shorter gram strings (interning, token-id grams), not probe vectorization.
 """
 
 from __future__ import annotations
@@ -76,44 +76,31 @@ def stream_ngram_contamination(
     contamination_frac) against the static ``benchmark``. Documents with
     fewer than ``n`` tokens produce no row (as in the batch operator).
     Stateless — safe in append mode, no watermark needed."""
-    bench_grams = benchmark_gram_set(benchmark, n=n, text_col=text_col)
-    bench_hashes = np.sort(
-        pd.util.hash_array(np.asarray(sorted(bench_grams), dtype=object))
+    bench_bc = spark.sparkContext.broadcast(
+        benchmark_gram_set(benchmark, n=n, text_col=text_col)
     )
-    bench_bc = spark.sparkContext.broadcast(bench_hashes)
     id_type = doc_stream.schema[id_col].dataType.simpleString()
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bench = bench_bc.value
         for pdf in batches:
-            ids, n_grams_l, all_grams, offsets = [], [], [], [0]
+            ids, n_grams, n_cont, fracs = [], [], [], []
             for i, text in zip(pdf[id_col], pdf[text_col].astype(str)):
                 ws = py_tokens(text)
                 if len(ws) < n:
                     continue
-                grams = dict.fromkeys(
-                    " ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)
-                )
+                grams = {" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)}
+                c = sum(1 for g in grams if g in bench)
                 ids.append(i)
-                n_grams_l.append(len(grams))
-                all_grams.extend(grams)
-                offsets.append(len(all_grams))
-            if all_grams and len(bench):
-                h = pd.util.hash_array(np.asarray(all_grams, dtype=object))
-                pos = np.searchsorted(bench, h)
-                hit = (pos < len(bench)) & (bench[np.minimum(pos, len(bench) - 1)] == h)
-                n_cont = np.add.reduceat(hit.astype(np.int64), offsets[:-1])
-            else:
-                n_cont = np.zeros(len(ids), dtype=np.int64)
-            n_grams = np.asarray(n_grams_l, dtype=np.int64)
+                n_grams.append(len(grams))
+                n_cont.append(c)
+                fracs.append(c / len(grams))
             yield pd.DataFrame(
                 {
                     id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
                     "n_distinct_grams": pd.Series(n_grams, dtype="int64"),
                     "n_contaminated": pd.Series(n_cont, dtype="int64"),
-                    "contamination_frac": pd.Series(
-                        n_cont / np.maximum(n_grams, 1), dtype="float64"
-                    ),
+                    "contamination_frac": pd.Series(fracs, dtype="float64"),
                 }
             )
 
