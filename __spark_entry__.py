@@ -790,6 +790,24 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(d, chunk_tokens=16, stride=8)
 
 
+def q_chunk_documents_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking under the SUBWORD token model (r7): the same
+    16-token / stride-8 windows as chunk_documents, but over GreedyWordpiece
+    pieces — chunk_text carries the exact piece slice, so the subword chunk
+    layout (boundaries AND piece strings) is value-verified cross-engine.
+    The tokenizer stage is map-side (pieces_frame), keeping chunking's ZERO
+    exchange (plan-pinned in tests/test_tokenizer.py); the DuckDB oracle
+    rebuilds per-word piece LISTS with a recursive CTE over the shared
+    literal vocabulary and flattens them in word order."""
+    from kg_obo_spark.functions.tokenizer import GreedyWordpiece
+    from kg_obo_spark.operators.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        d, chunk_tokens=16, stride=8, tokenizer=GreedyWordpiece()
+    )
+
+
 def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling (r6): rebalance the corpus toward a target
     language mixture (en weighted 2, others 1) — the scarcest-per-weight
@@ -1572,6 +1590,10 @@ _ROTATED_OUT = (
     "dedup_simhash",
     "ann_ivf",
     "emb_near_dup_lsh",
+    # parked mid-r7 for the new chunk_documents_bpe row (multimodal_decode
+    # is green rows+schema+hash in CORRECTNESS_r06; multimodal coverage
+    # stays pinned by the both-env pytest)
+    "multimodal_decode",
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -1647,6 +1669,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_scrub_spans_keepfirst": q_corpus_scrub_spans_keepfirst,
         "top_terms_tfidf": q_top_terms_tfidf,
         "chunk_documents": q_chunk_documents,
+        "chunk_documents_bpe": q_chunk_documents_bpe,
         "mixture_resample": q_mixture_resample,
         "sample_hash_mod": q_sample_hash_mod,
         "sample_stratified": q_sample_stratified,
@@ -1773,6 +1796,71 @@ def _wordpiece_pack_sql() -> str:
                greatest(tok_start, seq_id * 512) - tok_start AS doc_offset,
                least(tok_end, (seq_id + 1) * 512)
                  - greatest(tok_start, seq_id * 512) AS n_tokens
+        FROM b
+        """
+
+
+def _wordpiece_chunk_sql() -> str:
+    """DuckDB mirror of q_chunk_documents_bpe: the recursive max-munch CTE
+    accumulates each distinct word's PIECE LIST (list_append per step,
+    max_by(pieces, pos) picks the terminal row), per-doc subword arrays are
+    flattened in word order (generate_subscripts ordinality), then the
+    standard 16/8 sliding-window arithmetic slices them."""
+    from kg_obo_spark.functions.tokenizer import DEFAULT_WORDPIECE_VOCAB
+
+    vals = ", ".join(f"('{p}')" for p in DEFAULT_WORDPIECE_VOCAB)
+    return f"""
+        WITH RECURSIVE v(piece) AS (VALUES {vals}),
+        t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             tk -> len(tk) > 0) AS words
+          FROM documents
+        ),
+        w AS (
+          SELECT doc_id, unnest(words) AS word,
+                 generate_subscripts(words, 1) AS ord
+          FROM t
+        ),
+        dw AS (SELECT DISTINCT word FROM w),
+        seg(word, pos, pieces) AS (
+          SELECT word, 0, CAST([] AS VARCHAR[]) FROM dw
+          UNION ALL
+          SELECT word,
+                 pos + coalesce((SELECT max(len(piece)) FROM v
+                                 WHERE piece = substr(word, pos + 1,
+                                                      len(piece))), 1),
+                 list_append(pieces,
+                   substr(word, pos + 1,
+                          coalesce((SELECT max(len(piece)) FROM v
+                                    WHERE piece = substr(word, pos + 1,
+                                                         len(piece))), 1)))
+          FROM seg WHERE pos < len(word)
+        ),
+        wp AS (
+          SELECT word, max_by(pieces, pos) AS pieces FROM seg GROUP BY word
+        ),
+        docp AS (
+          SELECT w.doc_id, flatten(list(wp.pieces ORDER BY w.ord)) AS toks
+          FROM w JOIN wp USING (word) GROUP BY w.doc_id
+        ),
+        s AS (
+          SELECT doc_id, toks, len(toks) AS n_tok FROM docp WHERE len(toks) > 0
+        ),
+        b AS (
+          SELECT doc_id, toks, n_tok,
+                 unnest(generate_series(0,
+                   CASE WHEN n_tok <= 16 THEN 0
+                        ELSE (n_tok - 16 + 8 - 1) // 8 END)) AS chunk_id
+          FROM s
+        )
+        SELECT doc_id, chunk_id,
+               CAST(chunk_id * 8 AS BIGINT) AS tok_start,
+               CAST(least(16, n_tok - chunk_id * 8) AS BIGINT) AS n_tokens,
+               array_to_string(
+                 list_slice(toks, chunk_id * 8 + 1,
+                            chunk_id * 8 + least(16, n_tok - chunk_id * 8)),
+                 ' ') AS chunk_text
         FROM b
         """
 
@@ -2870,6 +2958,7 @@ def all_oracle_sql() -> dict[str, str]:
         """,
         "text_pii_scrub": _pii_oracle_sql(),
         "pack_sequences_bpe": _wordpiece_pack_sql(),
+        "chunk_documents_bpe": _wordpiece_chunk_sql(),
         # keep-first scrub: the duplicate_spans chain (r7 merged-island rule),
         # run text sliced per span, global-first occurrence per distinct run
         # KEPT (row_number over (run) ordered by doc_id, s0), every other

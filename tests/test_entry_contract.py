@@ -75,7 +75,8 @@ def test_every_query_has_callable_and_runs_registered():
     # emb_near_dup_lsh — earned theirs in CORRECTNESS_r06 and are parked
     # for r7)
     must_check = {
-        "pack_sequences_bpe", "corpus_scrub_spans_keepfirst",
+        "pack_sequences_bpe", "chunk_documents_bpe",
+        "corpus_scrub_spans_keepfirst",
     }
     assert must_check <= set(qs)
     # rotated-out entries still exist and (when oracled) stay parity-checked
