@@ -404,6 +404,31 @@ def test_scrub_spans_keepfirst_keeps_canonical_occurrence(spark):
         assert out[d].n_removed_tokens <= cutall[d]
 
 
+def test_scrub_spans_keepfirst_plan_shape(spark, tmp_path):
+    """Keep-first scrub never self-joins the corpus or the spans: every
+    exchange is keyed on gram / doc_id / _run (the three inherent
+    clusterings — global gram frequency, per-doc merges + scrub, global
+    first-occurrence per run), and no cartesian/BNLJ appears."""
+    import re
+
+    from kg_obo_spark.operators.dedup import scrub_spans_keepfirst
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "w x y z k m n o p") for i in range(8)],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    out = scrub_spans_keepfirst(spark.read.parquet(path), k=4)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("CartesianProduct") == 0
+    assert final.count("BroadcastNestedLoop") == 0
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", final))
+    assert keys <= {"gram", "doc_id", "_run"}, keys
+    assert final.count("Exchange") <= 8
+
+
 def test_scrub_spans_partition_independent(spark):
     from kg_obo_spark.operators.dedup import duplicate_spans, scrub_spans
 
