@@ -13,6 +13,35 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _sweep_dead_scratch(local_root: str) -> str:
+    """Claim this process's tmpfs scratch subdir (``pid-<N>``) and remove
+    siblings whose owner process is GONE — liveness via ``kill(pid, 0)``,
+    never an mtime heuristic, so a long-running concurrent session can
+    never lose live shuffle/blockmgr dirs to a newly starting one (r6
+    ADVICE). Pre-PID-scheme (un-owned) entries are removed: any JVM still
+    using one predates the ownership contract. Returns this session's
+    scratch path. Unit-tested in tests/test_session_scratch.py."""
+    import shutil
+
+    os.makedirs(local_root, exist_ok=True)
+    for entry in os.listdir(local_root):
+        p = os.path.join(local_root, entry)
+        try:
+            owner = int(entry.rsplit("-", 1)[-1])
+        except ValueError:
+            shutil.rmtree(p, ignore_errors=True)
+            continue
+        try:
+            os.kill(owner, 0)  # owner alive -> leave it alone
+        except ProcessLookupError:
+            shutil.rmtree(p, ignore_errors=True)
+        except PermissionError:
+            pass  # alive but other-uid: leave it alone
+    scratch = os.path.join(local_root, f"pid-{os.getpid()}")
+    os.makedirs(scratch, exist_ok=True)
+    return scratch
+
+
 def get_spark(
     app_name: str = "kg_obo_spark",
     master: str | None = None,
@@ -107,25 +136,9 @@ def get_spark(
             import shutil
 
             if shutil.disk_usage(shm).free >= 4 << 30:
-                local_root = os.path.join(shm, "kg_obo_spark_local")
-                os.makedirs(local_root, exist_ok=True)
-                for entry in os.listdir(local_root):
-                    p = os.path.join(local_root, entry)
-                    try:
-                        owner = int(entry.rsplit("-", 1)[-1])
-                    except ValueError:
-                        # Pre-r7 layout (un-owned dirs) — remove; any JVM
-                        # still using one predates the PID scheme.
-                        shutil.rmtree(p, ignore_errors=True)
-                        continue
-                    try:
-                        os.kill(owner, 0)  # owner alive -> leave it alone
-                    except ProcessLookupError:
-                        shutil.rmtree(p, ignore_errors=True)
-                    except PermissionError:
-                        pass  # alive but other-uid: leave it alone
-                scratch = os.path.join(local_root, f"pid-{os.getpid()}")
-                os.makedirs(scratch, exist_ok=True)
+                scratch = _sweep_dead_scratch(
+                    os.path.join(shm, "kg_obo_spark_local")
+                )
                 builder = builder.config("spark.local.dir", scratch)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
