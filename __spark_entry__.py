@@ -1527,6 +1527,98 @@ def q_publish_dead_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_dead_links(directory_index(files), manifest)
 
 
+# --------------------------------------- transcript analytics family (r7)
+# The north-star payload is multi-turn transcripts (BASELINE.json
+# input_hint); this family covers the training-data operations OVER that
+# shape beyond KG construction: SFT example assembly, preference pairs,
+# conversation rollups, tool-call transition analytics, and corpus-statistic
+# LM scoring. Driver input: documents reshaped deterministically
+# (transcripts_from_documents — same doc_id arithmetic mirrored in the
+# oracles' shared `tr` CTE).
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg_obo_spark.operators.conversations import transcripts_from_documents
+
+    return transcripts_from_documents(_t(spark, sf_dir, "documents"))
+
+
+def q_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT (context, response) example assembly: chat-template flattening of
+    every prior turn per assistant turn. ONE hash(conv_id) exchange (running
+    window); plan-pinned in tests/test_conversations.py."""
+    from kg_obo_spark.operators.conversations import sft_examples
+
+    return sft_examples(_transcripts(spark, sf_dir))
+
+
+def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation rollup (turns by role, tool calls, exact token
+    totals, wall-clock span) — all-integer output, one exchange."""
+    from kg_obo_spark.operators.conversations import conversation_stats
+
+    return conversation_stats(_transcripts(spark, sf_dir))
+
+
+def q_tool_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent tool-call transition matrix: consecutive (tool, next tool)
+    pairs within conversations, counted corpus-wide with exact distinct-conv
+    counts."""
+    from kg_obo_spark.operators.conversations import tool_bigrams
+
+    return tool_bigrams(_transcripts(spark, sf_dir))
+
+
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLHF/DPO preference-pair construction: best/worst assistant turn per
+    conversation by a deterministic score (token count), tie-broken by
+    turn_idx. ONE exchange (both rank windows + the pairing agg share the
+    hash(conv_id) partitioning); plan-pinned."""
+    from kg_obo_spark.operators.conversations import preference_pairs
+
+    return preference_pairs(_transcripts(spark, sf_dir))
+
+
+def q_conversation_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-grounded conversation rollup: the REAL KG extraction stage
+    (trie/fastscan mention scan -> canonical rewrite, exactly the
+    pipeline_transcripts chain) composed with the transcript-analytics
+    layer — per conversation, how many (turn, entity) presences, distinct
+    canonical entities, and turns with at least one mention. The DuckDB
+    oracle mirrors extraction regex + recursive-CTE CC + canonical rewrite
+    (the pipeline oracle's chain) and aggregates per conversation.
+
+    Scale shape: the fused extraction scan is map-only; presence distinct +
+    all three aggregates cluster by conv_id (the distinct's exchange is
+    (conv,turn,term)-keyed; the rollup rides hash(conv_id))."""
+    onto = _doc_pipeline_ontology()
+    docs = _t(spark, sf_dir, "documents")
+    tr = docs.select(
+        F.floor(F.col("doc_id") / 4).cast("string").alias("conv_id"),
+        F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("turn_idx"),
+        "text",
+    )
+    mentions = extract_mentions(tr, onto)
+    terms_df = spark.createDataFrame([(t["id"],) for t in onto.terms], "id string")
+    eq = spark.createDataFrame(onto.xrefs, "a string, b string")
+    cm = canonical_mentions(mentions, canonical_map(terms_df, eq))
+    pres = cm.select("conv_id", "turn_idx", "term_id").distinct()
+    return pres.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_mention_turns"),
+        F.countDistinct("term_id").alias("n_entities"),
+        F.countDistinct("turn_idx").alias("n_turns_with_mentions"),
+    )
+
+
+def q_gram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistic LM scoring (KenLM-filter proxy): mean corpus
+    frequency of each document's token bigrams, exact fixed-point (x 1e6).
+    TWO inherent exchanges — hash(gram) count window + hash(doc) agg."""
+    from kg_obo_spark.functions.text import gram_familiarity
+
+    return gram_familiarity(_t(spark, sf_dir, "documents"), n=2)
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -1594,6 +1686,16 @@ _ROTATED_OUT = (
     # is green rows+schema+hash in CORRECTNESS_r06; multimodal coverage
     # stays pinned by the both-env pytest)
     "multimodal_decode",
+    # parked mid-r7 for the five new transcript-analytics rows
+    # (sft_examples, conversation_stats, tool_bigrams, preference_pairs,
+    # gram_familiarity) — each parked name is green rows+schema+hash in
+    # CORRECTNESS_r06 and returns in r8
+    "chunk_documents",
+    "corpus_clean_funnel",
+    "text_quality_funnel",
+    "text_repetition_lines",
+    "epoch_shards",
+    "corpus_scrub_spans",  # parked for conversation_entities (r6-green)
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -1671,6 +1773,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "chunk_documents_bpe": q_chunk_documents_bpe,
         "mixture_resample": q_mixture_resample,
+        # transcript analytics (r7): the north-star payload's training-data
+        # layer beyond KG construction
+        "sft_examples": q_sft_examples,
+        "conversation_stats": q_conversation_stats,
+        "tool_bigrams": q_tool_bigrams,
+        "preference_pairs": q_preference_pairs,
+        "gram_familiarity": q_gram_familiarity,
+        "conversation_entities": q_conversation_entities,
         "sample_hash_mod": q_sample_hash_mod,
         "sample_stratified": q_sample_stratified,
         "text_lang_id": q_text_lang_id,
@@ -1948,6 +2058,40 @@ def all_oracle_sql() -> dict[str, str]:
         FROM isa i
         JOIN mentioned m1 ON i.subject = m1.id
         JOIN mentioned m2 ON i.object = m2.id
+        """,
+        # Entity-grounded conversation rollup: the pipeline oracle's
+        # extraction + CC + canonical-rewrite chain, aggregated per conv
+        "conversation_entities": f"""
+        WITH RECURSIVE terms(word, term_id) AS (VALUES {_DOC_TERMS_SQL_VALUES}),
+        xr(a, b) AS (VALUES {_DOC_XREFS_SQL_VALUES}),
+        tr AS (
+          SELECT CAST(CAST(FLOOR(doc_id / 4) AS BIGINT) AS VARCHAR) AS conv_id,
+                 CAST(doc_id % 4 AS INT) AS turn_idx, text
+          FROM documents
+        ),
+        mentions AS (
+          SELECT DISTINCT tr.conv_id, tr.turn_idx, t.term_id
+          FROM tr JOIN terms t
+            ON regexp_matches(tr.text,
+               '(?i)(^|[^A-Za-z0-9_])' || t.word || '($|[^A-Za-z0-9_-])')
+        ),
+        sym AS (SELECT a AS u, b AS v FROM xr UNION SELECT b, a FROM xr),
+        reach(id, r) AS (
+          SELECT u, u FROM sym
+          UNION
+          SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.id
+        ),
+        canon AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+        cmention AS (
+          SELECT DISTINCT m.conv_id, m.turn_idx,
+                 COALESCE(c.canonical_id, m.term_id) AS tid
+          FROM mentions m LEFT JOIN canon c ON m.term_id = c.id
+        )
+        SELECT conv_id,
+               count(*) AS n_mention_turns,
+               count(DISTINCT tid) AS n_entities,
+               count(DISTINCT turn_idx) AS n_turns_with_mentions
+        FROM cmention GROUP BY conv_id
         """,
         # MinHash with the md5-window signature variant: identical slot
         # arithmetic (min over distinct 3-shingles of 8-hex md5 windows),
@@ -3215,6 +3359,133 @@ def all_oracle_sql() -> dict[str, str]:
         SELECT e.event_id, r.o_orderkey AS matched_order
         FROM events e ASOF LEFT JOIN r
           ON e.user_id = r.k AND r.ts <= e.ts
+        """,
+        # --- transcript analytics (r7): shared `tr` CTE mirrors
+        # transcripts_from_documents' doc_id arithmetic exactly (conv_id =
+        # doc_id // 4, turn_idx = doc_id % 4, alternating roles, tool on
+        # assistant turns with doc_id % 5 != 0, ts_s integer epoch seconds).
+        "sft_examples": r"""
+        WITH tr AS (
+          SELECT doc_id // 4 AS conv_id,
+                 CAST(doc_id % 4 AS INTEGER) AS turn_idx,
+                 CASE WHEN doc_id % 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 text
+          FROM documents
+        ),
+        ctx AS (
+          SELECT conv_id, turn_idx, role, text,
+                 string_agg(role || ': ' || text, chr(10))
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS context,
+                 CAST(count(*)
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS BIGINT) AS n_context_turns
+          FROM tr
+        )
+        SELECT conv_id, turn_idx, context, text AS response, n_context_turns
+        FROM ctx WHERE role = 'assistant' AND n_context_turns >= 1
+        """,
+        "conversation_stats": r"""
+        WITH tr AS (
+          SELECT doc_id // 4 AS conv_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 CASE WHEN doc_id % 2 = 1 AND doc_id % 5 <> 0
+                      THEN 'tool_' || CAST(doc_id % 3 AS VARCHAR) END AS tool,
+                 1700000000 + doc_id * 60 AS ts_s,
+                 len(list_filter(string_split_regex(trim(text), '\s+'),
+                                 tk -> len(tk) > 0)) AS n_tok
+          FROM documents
+        )
+        SELECT conv_id,
+               count(*) AS n_turns,
+               count(*) FILTER (WHERE role = 'user') AS n_user,
+               count(*) FILTER (WHERE role = 'assistant') AS n_assistant,
+               count(tool) AS n_tool_calls,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST(coalesce(sum(n_tok) FILTER (WHERE role = 'assistant'), 0)
+                    AS BIGINT) AS assistant_tokens,
+               max(ts_s) - min(ts_s) AS duration_s
+        FROM tr GROUP BY conv_id
+        """,
+        "tool_bigrams": r"""
+        WITH tr AS (
+          SELECT doc_id // 4 AS conv_id,
+                 CAST(doc_id % 4 AS INTEGER) AS turn_idx,
+                 CASE WHEN doc_id % 2 = 1 AND doc_id % 5 <> 0
+                      THEN 'tool_' || CAST(doc_id % 3 AS VARCHAR) END AS tool
+          FROM documents
+        ),
+        pairs AS (
+          SELECT conv_id, tool AS tool_a,
+                 lead(tool) OVER (PARTITION BY conv_id
+                                  ORDER BY turn_idx) AS tool_b
+          FROM tr WHERE tool IS NOT NULL
+        )
+        SELECT tool_a, tool_b, count(*) AS n_pairs,
+               count(DISTINCT conv_id) AS n_convs
+        FROM pairs WHERE tool_b IS NOT NULL
+        GROUP BY tool_a, tool_b
+        """,
+        "preference_pairs": r"""
+        WITH cand AS (
+          SELECT doc_id // 4 AS conv_id,
+                 CAST(doc_id % 4 AS INTEGER) AS turn_idx,
+                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                      tk -> len(tk) > 0)) AS BIGINT) AS score
+          FROM documents WHERE doc_id % 2 = 1
+        ),
+        r AS (
+          SELECT conv_id, turn_idx, score,
+                 row_number() OVER (PARTITION BY conv_id
+                                    ORDER BY score DESC, turn_idx ASC) AS rb,
+                 row_number() OVER (PARTITION BY conv_id
+                                    ORDER BY score ASC, turn_idx DESC) AS rw
+          FROM cand
+        ),
+        p AS (
+          SELECT conv_id,
+                 max(CASE WHEN rb = 1 THEN turn_idx END) AS chosen_turn_idx,
+                 max(CASE WHEN rw = 1 THEN turn_idx END) AS rejected_turn_idx,
+                 max(CASE WHEN rb = 1 THEN score END) AS chosen_score,
+                 max(CASE WHEN rw = 1 THEN score END) AS rejected_score
+          FROM r GROUP BY conv_id
+        )
+        SELECT conv_id, chosen_turn_idx, rejected_turn_idx, chosen_score,
+               rejected_score, chosen_score - rejected_score AS score_gap
+        FROM p WHERE chosen_turn_idx <> rejected_turn_idx
+        """,
+        "gram_familiarity": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             tk -> len(tk) > 0) AS toks
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, toks, len(toks) AS n_tok FROM t WHERE len(toks) >= 2
+        ),
+        g AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(0, n_tok - 2)) AS pos
+          FROM s
+        ),
+        gp AS (
+          SELECT doc_id,
+                 array_to_string(list_slice(toks, pos + 1, pos + 2),
+                                 ' ') AS gram
+          FROM g
+        ),
+        c AS (
+          SELECT doc_id, count(*) OVER (PARTITION BY gram) AS cnt FROM gp
+        )
+        SELECT doc_id, count(*) AS n_grams,
+               (1000000 * CAST(sum(cnt) AS BIGINT)) // count(*)
+                 AS familiarity_e6
+        FROM c GROUP BY doc_id
         """,
         "sessionize": """
         WITH gaps AS (

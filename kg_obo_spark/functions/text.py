@@ -614,3 +614,51 @@ def gopher_quality_funnel(
         F.sum("pass_stopwords").alias("n_pass_stopwords"),
         F.sum("keep").alias("n_keep"),
     )
+
+
+def gram_familiarity(
+    df: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-statistic language-model scoring (KenLM-filter proxy): score
+    each document by how familiar its token n-grams are corpus-wide —
+    the mean corpus frequency of the document's n-grams, in exact
+    fixed-point (x 1e6) integer arithmetic so the cross-engine oracle
+    matches bit-for-bit. Documents whose grams are mostly unique to them
+    score near 1e6 (every gram occurs once: itself); template/boilerplate
+    documents score high. Production pipelines threshold this the way a
+    KenLM perplexity filter does — it is the same dataflow with corpus
+    counts standing in for model log-probs.
+
+    Returns (``id_col``, n_grams, familiarity_e6) where
+    familiarity_e6 = floor(1e6 * sum(corpus_count(gram)) / n_grams).
+
+    Dataflow: positional n-grams map-side (staged HOF projection, same
+    shape as duplicate_spans) -> corpus gram frequency as a count window
+    over ``gram`` (never a self-join: a gram occurring d times costs d
+    rows) -> per-document sum/count aggregation. Exactly TWO exchanges —
+    hash(gram) and hash(doc) — both inherent clusterings. At 100 TB the
+    gram exchange dominates; skew on stop-gram keys is bounded because the
+    window only counts (no value carry), and AQE skew-split handles the
+    residual. Plan-pinned in tests/test_conversations.py.
+    """
+    from pyspark.sql import Window
+
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    toks = tokens(F.col(text_col))
+    d = df.select(F.col(id_col), toks.alias("_toks"))
+    d = d.filter(F.size("_toks") >= n).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - n),
+                lambda i: F.array_join(F.slice("_toks", i + 1, n), " "),
+            )
+        ).alias("gram"),
+    )
+    cnt_w = Window.partitionBy("gram")
+    d = d.select(id_col, F.count(F.lit(1)).over(cnt_w).alias("_cnt"))
+    return d.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.expr("div(1000000 * sum(_cnt), count(1))").alias("familiarity_e6"),
+    )

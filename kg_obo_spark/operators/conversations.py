@@ -1,0 +1,229 @@
+"""Transcript / conversation analytics and training-example construction.
+
+The north-star input (BASELINE.json ``input_hint``) is an Iceberg table of
+multi-turn conversation / agent transcripts with columns
+``(conv_id, turn_idx, role, text, tool, ts)``. These operators consume that
+shape directly and cover what a training-data pipeline does with transcripts
+*besides* KG construction: SFT (context, response) example assembly,
+preference-pair (RLHF) construction, per-conversation rollups, and tool-call
+sequence analytics. Reference analog: none — kg-obo stops at graph
+materialization; this family is the training-data layer on top (same tier as
+packing/chunking/mixture in operators/packing.py etc.).
+
+For the driver contract the ``documents`` table is reshaped deterministically
+(:func:`transcripts_from_documents`) so every operator here is
+DuckDB-value-oracled end to end.
+
+Scale notes (100 TB, 10^12 turns): every operator clusters by ``conv_id``
+exactly once — one hash exchange, with any follow-up per-conversation
+aggregation riding the same partitioning (Spark's output-partitioning subset
+rule). Conversations are bounded (thousands of turns, not billions), so
+per-key state never skews the way hot entities do in the KG path; no salting
+needed. Nothing here joins, collects, or holds more than one conversation's
+turns in a window frame at a time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kg_obo_spark.functions.text import tokens
+
+__all__ = [
+    "transcripts_from_documents",
+    "sft_examples",
+    "conversation_stats",
+    "tool_bigrams",
+    "preference_pairs",
+]
+
+# Epoch base for the deterministic synthetic timestamp column (seconds).
+TS_BASE_S = 1_700_000_000
+TURNS_PER_CONV = 4
+
+
+def transcripts_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic map-only reshape of the ``documents`` table into the
+    north-star transcript schema (BASELINE.json input_hint):
+
+    - ``conv_id``  = doc_id // 4            (4 turns per conversation)
+    - ``turn_idx`` = doc_id % 4
+    - ``role``     = user / assistant alternating (even / odd turn)
+    - ``tool``     = 'tool_<doc_id % 3>' on assistant turns where
+      doc_id % 5 != 0, else NULL (not every assistant turn calls a tool)
+    - ``ts_s``     = TS_BASE_S + doc_id * 60 (integer epoch seconds — kept
+      as a BIGINT, not a timestamp, so cross-engine oracle comparison is
+      exact with no timezone/precision semantics in play)
+
+    Pure projection: zero exchanges, fully mirrored in ANSI SQL by the
+    oracle (same arithmetic on doc_id). Production input is a real
+    transcript table (kg_obo_spark.datagen.transcripts / TableIO Iceberg
+    layout); this reshape exists so the driver's SQL-visible tables can
+    exercise the identical operator code.
+    """
+    doc_id = F.col("doc_id")
+    turn_idx = F.pmod(doc_id, F.lit(TURNS_PER_CONV)).cast("int")
+    return docs.select(
+        F.floor(doc_id / TURNS_PER_CONV).cast("long").alias("conv_id"),
+        turn_idx.alias("turn_idx"),
+        F.when(turn_idx % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.when(
+            (turn_idx % 2 == 1) & (F.pmod(doc_id, F.lit(5)) != 0),
+            F.concat(F.lit("tool_"), F.pmod(doc_id, F.lit(3)).cast("string")),
+        ).alias("tool"),
+        (F.lit(TS_BASE_S) + doc_id * 60).cast("long").alias("ts_s"),
+        F.col("text"),
+    )
+
+
+def sft_examples(tr: DataFrame, sep: str = "\n") -> DataFrame:
+    """SFT (context, response) training examples: one row per assistant turn
+    that has at least one preceding turn, with ``context`` = every prior
+    turn rendered as ``role: text`` joined by ``sep`` (chat-template
+    flattening) and ``response`` = the assistant turn's text.
+
+    Returns (conv_id, turn_idx, context, response, n_context_turns).
+
+    Dataflow: ONE exchange — hash(conv_id) for the running-context window
+    (rows UNBOUNDED PRECEDING .. 1 PRECEDING over turn_idx order); the
+    role filter and rendering are map-side around it. At 10^12 turns the
+    frame holds one conversation prefix at a time — context size is bounded
+    by conversation length, never corpus size. Plan-pinned in
+    tests/test_conversations.py.
+    """
+    line = F.concat_ws(": ", F.col("role"), F.col("text"))
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = tr.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.col("text").alias("response"),
+        F.array_join(F.collect_list(line).over(w), sep).alias("context"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_context_turns"),
+    )
+    return out.filter(
+        (F.col("role") == "assistant") & (F.col("n_context_turns") >= 1)
+    ).select("conv_id", "turn_idx", "context", "response", "n_context_turns")
+
+
+def conversation_stats(tr: DataFrame) -> DataFrame:
+    """Per-conversation rollup: turn counts by role, tool-call count, exact
+    whitespace-token totals (overall and assistant-only), and wall-clock
+    span in seconds. All-integer output so the oracle comparison is exact.
+
+    Returns (conv_id, n_turns, n_user, n_assistant, n_tool_calls,
+    total_tokens, assistant_tokens, duration_s).
+
+    Dataflow: ONE exchange — the hash(conv_id) aggregation, with map-side
+    partial aggregation doing the heavy lifting (token counting is pure
+    codegen via tokens()). The classic transcript-corpus profiling scan.
+    """
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    is_assistant = F.col("role") == "assistant"
+    return tr.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias("n_user"),
+        F.sum(F.when(is_assistant, 1).otherwise(0)).alias("n_assistant"),
+        F.count("tool").alias("n_tool_calls"),
+        F.sum(n_tok).alias("total_tokens"),
+        F.sum(F.when(is_assistant, n_tok).otherwise(F.lit(0))).alias(
+            "assistant_tokens"
+        ),
+        (F.max("ts_s") - F.min("ts_s")).alias("duration_s"),
+    )
+
+
+def tool_bigrams(tr: DataFrame) -> DataFrame:
+    """Tool-call sequence analytics: consecutive (tool, next tool) pairs
+    within each conversation (turn order), counted corpus-wide — the
+    agent-behavior transition matrix.
+
+    Returns (tool_a, tool_b, n_pairs, n_convs) where ``n_convs`` is the
+    number of distinct conversations the transition occurs in.
+
+    Dataflow: tool-call rows are a map-side filter (usually a small fraction
+    of turns — filter first, shuffle less); lead() needs hash(conv_id);
+    the pair count is a second, much smaller aggregation keyed by the pair.
+    The distinct-conv count is exact (two-phase distinct aggregate) — at
+    10^12 turns the pair domain is |tools|^2, tiny, so the extra pass over
+    pair-keyed rows is noise next to the conv-keyed sort.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    calls = tr.filter(F.col("tool").isNotNull()).select(
+        "conv_id", "turn_idx", "tool"
+    )
+    pairs = calls.select(
+        "conv_id",
+        F.col("tool").alias("tool_a"),
+        F.lead("tool").over(w).alias("tool_b"),
+    ).filter(F.col("tool_b").isNotNull())
+    return pairs.groupBy("tool_a", "tool_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
+def preference_pairs(tr: DataFrame) -> DataFrame:
+    """Preference-pair (RLHF/DPO-style) construction: within each
+    conversation, the assistant turns are candidate responses; the chosen
+    response is the one with the highest score (here: exact whitespace token
+    count — a deterministic stand-in for a reward-model score column) and
+    the rejected one the lowest, with turn_idx breaking ties (earlier wins
+    best, later wins worst, so a 2-candidate tie still yields a pair).
+    Conversations with fewer than two assistant turns produce no row.
+
+    Returns (conv_id, chosen_turn_idx, rejected_turn_idx, chosen_score,
+    rejected_score, score_gap) — all BIGINT.
+
+    Dataflow: ONE exchange. Both row_number() windows share the
+    hash(conv_id) partitioning (two sort orders over the same exchange), and
+    the final per-conversation pairing aggregation rides that partitioning
+    via the subset rule — no second shuffle. Never a self-join of
+    candidates. Plan-pinned in tests/test_conversations.py.
+    """
+    score = F.size(tokens(F.col("text"))).cast("long")
+    cand = tr.filter(F.col("role") == "assistant").select(
+        "conv_id", "turn_idx", score.alias("score")
+    )
+    w_best = Window.partitionBy("conv_id").orderBy(
+        F.col("score").desc(), F.col("turn_idx").asc()
+    )
+    w_worst = Window.partitionBy("conv_id").orderBy(
+        F.col("score").asc(), F.col("turn_idx").desc()
+    )
+    ranked = cand.select(
+        "conv_id",
+        "turn_idx",
+        "score",
+        F.row_number().over(w_best).alias("_rb"),
+        F.row_number().over(w_worst).alias("_rw"),
+    )
+    paired = ranked.groupBy("conv_id").agg(
+        F.max(F.when(F.col("_rb") == 1, F.col("turn_idx"))).alias(
+            "chosen_turn_idx"
+        ),
+        F.max(F.when(F.col("_rw") == 1, F.col("turn_idx"))).alias(
+            "rejected_turn_idx"
+        ),
+        F.max(F.when(F.col("_rb") == 1, F.col("score"))).alias("chosen_score"),
+        F.max(F.when(F.col("_rw") == 1, F.col("score"))).alias(
+            "rejected_score"
+        ),
+    )
+    return paired.filter(
+        F.col("chosen_turn_idx") != F.col("rejected_turn_idx")
+    ).select(
+        "conv_id",
+        "chosen_turn_idx",
+        "rejected_turn_idx",
+        "chosen_score",
+        "rejected_score",
+        (F.col("chosen_score") - F.col("rejected_score")).alias("score_gap"),
+    )

@@ -1,0 +1,179 @@
+"""Transcript analytics family: SFT example assembly, conversation rollups,
+tool-call bigrams, preference pairs, gram familiarity — correctness vs
+hand-computed expectations, edge cases, and exchange-count plan pins."""
+
+import pytest
+
+from kg_obo_spark.operators.conversations import (
+    conversation_stats,
+    preference_pairs,
+    sft_examples,
+    tool_bigrams,
+    transcripts_from_documents,
+)
+
+
+def _tr(spark):
+    # Two conversations plus a truncated single-turn tail:
+    #   conv 0: user/assistant/user/assistant, tools on both assistant turns
+    #   conv 1: assistant turn 1 has no tool, turn 3 does; a token-count tie
+    #   conv 2: lone user turn (no SFT example, no preference pair)
+    rows = [
+        (0, 0, "user", None, 100, "hi there"),
+        (0, 1, "assistant", "tool_a", 160, "hello hello hello"),
+        (0, 2, "user", None, 220, "more please"),
+        (0, 3, "assistant", "tool_b", 280, "ok"),
+        (1, 0, "user", None, 400, "question"),
+        (1, 1, "assistant", None, 460, "short answer"),
+        (1, 2, "user", None, 520, "again"),
+        (1, 3, "assistant", "tool_a", 580, "same length"),
+        (2, 0, "user", None, 700, "dangling"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id long, turn_idx int, role string, tool string, "
+        "ts_s long, text string",
+    )
+
+
+def _plan(df) -> str:
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_transcripts_from_documents_shape(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    out = {r.conv_id * 4 + r.turn_idx: r for r in
+           transcripts_from_documents(docs).collect()}
+    assert set(out) == set(range(10))
+    for d, r in out.items():
+        assert r.conv_id == d // 4 and r.turn_idx == d % 4
+        assert r.role == ("user" if d % 2 == 0 else "assistant")
+        if d % 2 == 1 and d % 5 != 0:
+            assert r.tool == f"tool_{d % 3}"
+        else:
+            assert r.tool is None
+        assert r.ts_s == 1_700_000_000 + d * 60
+        assert r.text == f"text {d}"
+
+
+def test_sft_examples_contexts(spark):
+    out = {(r.conv_id, r.turn_idx): r for r in sft_examples(_tr(spark)).collect()}
+    # one example per assistant turn with history; conv 2 contributes none
+    assert set(out) == {(0, 1), (0, 3), (1, 1), (1, 3)}
+    assert out[(0, 1)].context == "user: hi there"
+    assert out[(0, 1)].response == "hello hello hello"
+    assert out[(0, 1)].n_context_turns == 1
+    assert out[(0, 3)].context == (
+        "user: hi there\nassistant: hello hello hello\nuser: more please"
+    )
+    assert out[(0, 3)].n_context_turns == 3
+    assert out[(1, 3)].response == "same length"
+
+
+def test_sft_examples_single_exchange(spark):
+    plan = _plan(sft_examples(_tr(spark)))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(conv_id" in plan
+
+
+def test_conversation_stats_values(spark):
+    out = {r.conv_id: r for r in conversation_stats(_tr(spark)).collect()}
+    assert set(out) == {0, 1, 2}
+    c0 = out[0]
+    assert (c0.n_turns, c0.n_user, c0.n_assistant, c0.n_tool_calls) == (4, 2, 2, 2)
+    # tokens: 2 + 3 + 2 + 1 = 8, assistant 3 + 1 = 4
+    assert (c0.total_tokens, c0.assistant_tokens) == (8, 4)
+    assert c0.duration_s == 180
+    c1 = out[1]
+    assert (c1.n_turns, c1.n_tool_calls) == (4, 1)
+    c2 = out[2]
+    assert (c2.n_turns, c2.n_user, c2.n_assistant, c2.n_tool_calls) == (1, 1, 0, 0)
+    assert (c2.assistant_tokens, c2.duration_s) == (0, 0)
+
+
+def test_conversation_stats_single_exchange(spark):
+    plan = _plan(conversation_stats(_tr(spark)))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tool_bigrams_counts(spark):
+    rows = [
+        (0, 1, "a"), (0, 3, "b"), (0, 5, "a"),   # a->b, b->a
+        (1, 0, "a"), (1, 2, "b"),                 # a->b
+        (2, 4, "c"),                              # lone call: no pair
+    ]
+    tr = spark.createDataFrame(
+        [(c, t, "assistant", tool, 0, "x") for c, t, tool in rows],
+        "conv_id long, turn_idx int, role string, tool string, "
+        "ts_s long, text string",
+    )
+    out = {(r.tool_a, r.tool_b): r for r in tool_bigrams(tr).collect()}
+    assert set(out) == {("a", "b"), ("b", "a")}
+    assert (out[("a", "b")].n_pairs, out[("a", "b")].n_convs) == (2, 2)
+    assert (out[("b", "a")].n_pairs, out[("b", "a")].n_convs) == (1, 1)
+
+
+def test_preference_pairs_selection_and_ties(spark):
+    out = {r.conv_id: r for r in preference_pairs(_tr(spark)).collect()}
+    # conv 0: turn 1 has 3 tokens (chosen), turn 3 has 1 (rejected)
+    assert set(out) == {0, 1}  # conv 2 has no assistant turns
+    p0 = out[0]
+    assert (p0.chosen_turn_idx, p0.rejected_turn_idx) == (1, 3)
+    assert (p0.chosen_score, p0.rejected_score, p0.score_gap) == (3, 1, 2)
+    # conv 1: both assistant turns score 2 — tie: earlier turn chosen,
+    # later rejected, gap 0 (still a deterministic pair)
+    p1 = out[1]
+    assert (p1.chosen_turn_idx, p1.rejected_turn_idx) == (1, 3)
+    assert p1.score_gap == 0
+
+
+def test_preference_pairs_needs_two_candidates(spark):
+    tr = spark.createDataFrame(
+        [(0, 1, "assistant", None, 0, "only one")],
+        "conv_id long, turn_idx int, role string, tool string, "
+        "ts_s long, text string",
+    )
+    assert preference_pairs(tr).count() == 0
+
+
+def test_preference_pairs_single_exchange(spark):
+    """Both rank windows and the pairing aggregation share one
+    hash(conv_id) exchange (subset rule)."""
+    plan = _plan(preference_pairs(_tr(spark)))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(conv_id" in plan
+    assert "Join" not in plan
+
+
+def test_gram_familiarity_values_and_plan(spark):
+    from kg_obo_spark.functions.text import gram_familiarity
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),      # grams: "a b", "b c"
+            (1, "a b d"),      # grams: "a b", "b d"
+            (2, "zz"),         # < 2 tokens: dropped
+            (3, ""),           # empty: dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gram_familiarity(docs, n=2).collect()}
+    assert set(out) == {0, 1}
+    # "a b" occurs twice corpus-wide, the others once
+    assert out[0].n_grams == 2
+    assert out[0].familiarity_e6 == (1_000_000 * (2 + 1)) // 2
+    assert out[1].familiarity_e6 == (1_000_000 * (2 + 1)) // 2
+
+    res = gram_familiarity(docs, n=2)
+    plan = _plan(res)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "hashpartitioning(gram" in plan
+    assert "hashpartitioning(doc_id" in plan
+    assert "Join" not in plan
+
+    with pytest.raises(ValueError, match="n must be positive"):
+        gram_familiarity(docs, n=0)

@@ -77,6 +77,9 @@ def test_every_query_has_callable_and_runs_registered():
     must_check = {
         "pack_sequences_bpe", "chunk_documents_bpe",
         "corpus_scrub_spans_keepfirst",
+        # transcript analytics family (new mid-r7)
+        "sft_examples", "conversation_stats", "tool_bigrams",
+        "preference_pairs", "gram_familiarity", "conversation_entities",
     }
     assert must_check <= set(qs)
     # rotated-out entries still exist and (when oracled) stay parity-checked

@@ -1,0 +1,95 @@
+"""Streaming conversation rollup equals the batch conversation_stats on any
+arrival order/batching: the LAST emission per conv_id converges to the batch
+aggregate over everything that arrived."""
+
+import os
+import time
+
+from kg_obo_spark.operators.conversations import conversation_stats
+from kg_obo_spark.streaming.conversations import stream_conversation_stats
+
+SCHEMA = (
+    "conv_id long, turn_idx int, role string, tool string, "
+    "ts_s long, text string"
+)
+
+
+def _write_file(spark, rows, path, mtime, stamped):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    for name in os.listdir(path):
+        if name.endswith(".parquet") and name not in stamped:
+            os.utime(os.path.join(path, name), (mtime, mtime))
+            stamped.add(name)
+
+
+def test_stream_rollup_converges_to_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = time.time() - 1000
+    stamped: set[str] = set()
+    # conv 0 split across batches OUT of turn order; conv 1 arrives whole;
+    # conv 2's lone turn arrives last
+    f0 = [
+        (0, 2, "user", None, 220, "more please"),
+        (1, 0, "user", None, 400, "question"),
+        (1, 1, "assistant", None, 460, "short answer"),
+        (1, 2, "user", None, 520, "again"),
+        (1, 3, "assistant", "tool_a", 580, "same length"),
+    ]
+    f1 = [
+        (0, 3, "assistant", "tool_b", 280, "ok"),
+        (0, 0, "user", None, 100, "hi there"),
+    ]
+    f2 = [
+        (0, 1, "assistant", "tool_a", 160, "hello hello hello"),
+        (2, 0, "user", None, 700, "dangling"),
+    ]
+    _write_file(spark, f0, src, base, stamped)
+    _write_file(spark, f1, src, base + 10, stamped)
+    _write_file(spark, f2, src, base + 20, stamped)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_conversation_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sconv")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # conv 0 was touched by all three micro-batches -> 3 emissions; the
+    # rollup is monotone in n_turns, so "last emission" = max n_turns
+    emitted = spark.sql("SELECT * FROM sconv").collect()
+    assert sum(1 for r in emitted if r.conv_id == 0) == 3
+    last = {}
+    for r in emitted:
+        if r.conv_id not in last or r.n_turns > last[r.conv_id].n_turns:
+            last[r.conv_id] = r
+
+    batch = {
+        r.conv_id: r
+        for r in conversation_stats(
+            spark.createDataFrame(f0 + f1 + f2, SCHEMA)
+        ).collect()
+    }
+    assert set(last) == set(batch) == {0, 1, 2}
+    cols = [
+        "n_turns", "n_user", "n_assistant", "n_tool_calls",
+        "total_tokens", "assistant_tokens", "duration_s",
+    ]
+    for cid in batch:
+        for c in cols:
+            assert getattr(last[cid], c) == getattr(batch[cid], c), (cid, c)
+
+    # intermediate emission for conv 0 after its first batch: one turn seen
+    first0 = min((r for r in emitted if r.conv_id == 0), key=lambda r: r.n_turns)
+    assert (first0.n_turns, first0.total_tokens, first0.duration_s) == (1, 2, 0)
