@@ -1552,6 +1552,15 @@ def q_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sft_examples(_transcripts(spark, sf_dir))
 
 
+def q_sft_examples_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT assembly under an 80-token context budget (left-truncation at
+    turn granularity via the suffix-cumsum rule). Still ONE hash(conv_id)
+    exchange; budget filter/render are map-side HOFs. Plan-pinned."""
+    from kg_obo_spark.operators.conversations import sft_examples_budget
+
+    return sft_examples_budget(_transcripts(spark, sf_dir), max_context_tokens=80)
+
+
 def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation rollup (turns by role, tool calls, exact token
     totals, wall-clock span) — all-integer output, one exchange."""
@@ -1696,6 +1705,7 @@ _ROTATED_OUT = (
     "text_repetition_lines",
     "epoch_shards",
     "corpus_scrub_spans",  # parked for conversation_entities (r6-green)
+    "text_repetition_ngrams",  # parked for sft_examples_budget (r6-green)
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -1776,6 +1786,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transcript analytics (r7): the north-star payload's training-data
         # layer beyond KG construction
         "sft_examples": q_sft_examples,
+        "sft_examples_budget": q_sft_examples_budget,
         "conversation_stats": q_conversation_stats,
         "tool_bigrams": q_tool_bigrams,
         "preference_pairs": q_preference_pairs,
@@ -3387,6 +3398,51 @@ def all_oracle_sql() -> dict[str, str]:
         )
         SELECT conv_id, turn_idx, context, text AS response, n_context_turns
         FROM ctx WHERE role = 'assistant' AND n_context_turns >= 1
+        """,
+        "sft_examples_budget": r"""
+        WITH tr AS (
+          SELECT doc_id // 4 AS conv_id,
+                 CAST(doc_id % 4 AS INTEGER) AS turn_idx,
+                 CASE WHEN doc_id % 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 text,
+                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                      tk -> len(tk) > 0)) AS BIGINT) AS nt
+          FROM documents
+        ),
+        c AS (
+          SELECT conv_id, turn_idx, role, text, nt,
+                 CAST(sum(nt) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                    ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
+          FROM tr
+        ),
+        a AS (
+          SELECT conv_id, turn_idx, role, text,
+                 cum - nt AS cprev,
+                 array_agg(struct_pack(
+                     line := role || ': ' || text,
+                     cum_prev := cum - nt))
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS arr
+          FROM c
+        ),
+        k AS (
+          SELECT conv_id, turn_idx, text, cprev,
+                 list_filter(coalesce(arr, []),
+                             x -> x.cum_prev >= cprev - 80) AS kept
+          FROM a WHERE role = 'assistant' AND turn_idx >= 1
+        )
+        SELECT conv_id, turn_idx,
+               coalesce(array_to_string(list_transform(kept, x -> x.line),
+                                        chr(10)), '') AS context,
+               text AS response,
+               CAST(len(kept) AS BIGINT) AS n_context_turns,
+               CAST(CASE WHEN len(kept) > 0
+                         THEN cprev - kept[1].cum_prev
+                         ELSE 0 END AS BIGINT) AS n_context_tokens
+        FROM k
         """,
         "conversation_stats": r"""
         WITH tr AS (

@@ -33,6 +33,7 @@ from kg_obo_spark.functions.text import tokens
 __all__ = [
     "transcripts_from_documents",
     "sft_examples",
+    "sft_examples_budget",
     "conversation_stats",
     "tool_bigrams",
     "preference_pairs",
@@ -111,6 +112,90 @@ def sft_examples(tr: DataFrame, sep: str = "\n") -> DataFrame:
     return out.filter(
         (F.col("role") == "assistant") & (F.col("n_context_turns") >= 1)
     ).select("conv_id", "turn_idx", "context", "response", "n_context_turns")
+
+
+def sft_examples_budget(
+    tr: DataFrame, max_context_tokens: int, sep: str = "\n"
+) -> DataFrame:
+    """SFT example assembly under a CONTEXT-WINDOW TOKEN BUDGET: like
+    :func:`sft_examples`, but the context keeps only the most recent prior
+    turns whose combined whitespace-token count fits ``max_context_tokens``
+    (left-truncation, the standard chat-training policy). A single long
+    prior turn that doesn't fit is dropped entirely (turn granularity — no
+    mid-turn splits), so the context can be empty while the example row
+    survives.
+
+    Returns (conv_id, turn_idx, context, response, n_context_turns,
+    n_context_tokens).
+
+    Dataflow: the turn-inclusion rule is a SUFFIX test on the running token
+    cumsum — prior turn j is in budget for assistant turn i iff
+    C(j-1) >= C(i-1) - budget, where C is one forward cumulative sum — so
+    one hash(conv_id) exchange covers everything: both window frames (the
+    cumsum and the prior-struct collect) share the partitioning+order, and
+    the budget filter/render are map-side HOFs over the collected
+    conversation prefix (bounded by conversation length, never corpus
+    size). The kept array is staged behind an alias so the multi-reference
+    HOF evaluates once (CollapseProject keeps non-cheap aliases).
+    Plan-pinned in tests/test_conversations.py.
+    """
+    if max_context_tokens <= 0:
+        raise ValueError(
+            f"max_context_tokens must be positive, got {max_context_tokens}"
+        )
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    line = F.concat_ws(": ", F.col("role"), F.col("text"))
+    w_cum = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_prev = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = tr.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.col("text").alias("response"),
+        F.sum(n_tok).over(w_cum).alias("_cum"),
+        n_tok.alias("_nt"),
+        F.collect_list(
+            F.struct(
+                line.alias("line"),
+                (F.sum(n_tok).over(w_cum) - n_tok).alias("cum_prev"),
+            )
+        ).over(w_prev).alias("_arr"),
+    ).filter((F.col("role") == "assistant") & (F.col("turn_idx") >= 1))
+    # C(i-1) for this turn, and the inclusion threshold
+    thr = F.col("_cum") - F.col("_nt") - F.lit(max_context_tokens)
+    staged = base.select(
+        "conv_id",
+        "turn_idx",
+        "response",
+        (F.col("_cum") - F.col("_nt")).alias("_cprev"),
+        F.filter(
+            F.col("_arr"), lambda x: x["cum_prev"] >= thr
+        ).alias("_kept"),
+    )
+    return staged.select(
+        "conv_id",
+        "turn_idx",
+        F.array_join(
+            F.transform(F.col("_kept"), lambda x: x["line"]), sep
+        ).alias("context"),
+        "response",
+        F.size("_kept").cast("long").alias("n_context_turns"),
+        F.when(
+            F.size("_kept") > 0,
+            F.col("_cprev") - F.element_at("_kept", 1)["cum_prev"],
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_context_tokens"),
+    )
 
 
 def conversation_stats(tr: DataFrame) -> DataFrame:

@@ -177,3 +177,53 @@ def test_gram_familiarity_values_and_plan(spark):
 
     with pytest.raises(ValueError, match="n must be positive"):
         gram_familiarity(docs, n=0)
+
+
+def test_sft_examples_budget_truncation(spark):
+    from kg_obo_spark.operators.conversations import sft_examples_budget
+
+    out = {(r.conv_id, r.turn_idx): r
+           for r in sft_examples_budget(_tr(spark), 4).collect()}
+    # conv 0 tokens per turn: 2, 3, 2, 1 (cumsum 2, 5, 7, 8)
+    # turn 1: only prior t0 (2 <= 4) fits
+    assert out[(0, 1)].context == "user: hi there"
+    assert (out[(0, 1)].n_context_turns, out[(0, 1)].n_context_tokens) == (1, 2)
+    # turn 3: suffix rule keeps only t2 (t1+t2 = 5 > 4)
+    assert out[(0, 3)].context == "user: more please"
+    assert (out[(0, 3)].n_context_turns, out[(0, 3)].n_context_tokens) == (1, 2)
+    # responses unchanged
+    assert out[(0, 3)].response == "ok"
+
+
+def test_sft_examples_budget_empty_context_survives(spark):
+    from kg_obo_spark.operators.conversations import sft_examples_budget
+
+    out = {(r.conv_id, r.turn_idx): r
+           for r in sft_examples_budget(_tr(spark), 1).collect()}
+    # a 2-token prior turn cannot fit a budget of 1: context empties but
+    # the example row survives (turn granularity, no mid-turn splits)
+    r01 = out[(0, 1)]
+    assert (r01.context, r01.n_context_turns, r01.n_context_tokens) == ("", 0, 0)
+
+
+def test_sft_examples_budget_matches_unbudgeted_when_loose(spark):
+    from kg_obo_spark.operators.conversations import (
+        sft_examples,
+        sft_examples_budget,
+    )
+
+    loose = {(r.conv_id, r.turn_idx): r.context
+             for r in sft_examples_budget(_tr(spark), 10_000).collect()}
+    full = {(r.conv_id, r.turn_idx): r.context
+            for r in sft_examples(_tr(spark)).collect()}
+    assert loose == full
+
+
+def test_sft_examples_budget_single_exchange_and_args(spark):
+    from kg_obo_spark.operators.conversations import sft_examples_budget
+
+    plan = _plan(sft_examples_budget(_tr(spark), 4))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(conv_id" in plan
+    with pytest.raises(ValueError, match="max_context_tokens"):
+        sft_examples_budget(_tr(spark), 0)
