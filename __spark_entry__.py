@@ -1578,6 +1578,17 @@ def q_tool_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_bigrams(_transcripts(spark, sf_dir))
 
 
+def q_dedup_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level exact dedup: md5 fingerprint of the turn-ordered
+    normalized transcript + keep-first min-conv window. Two inherent
+    exchanges (conv assembly, fingerprint window); the fingerprint VALUES
+    are hash-verified, so the canonical-string assembly is value-checked
+    even on a dup-free corpus."""
+    from kg_obo_spark.operators.conversations import dedup_conversations
+
+    return dedup_conversations(_transcripts(spark, sf_dir))
+
+
 def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RLHF/DPO preference-pair construction: best/worst assistant turn per
     conversation by a deterministic score (token count), tie-broken by
@@ -1706,6 +1717,7 @@ _ROTATED_OUT = (
     "epoch_shards",
     "corpus_scrub_spans",  # parked for conversation_entities (r6-green)
     "text_repetition_ngrams",  # parked for sft_examples_budget (r6-green)
+    "pack_sequences",  # parked for dedup_conversations (r6-green)
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -1789,6 +1801,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_examples_budget": q_sft_examples_budget,
         "conversation_stats": q_conversation_stats,
         "tool_bigrams": q_tool_bigrams,
+        "dedup_conversations": q_dedup_conversations,
         "preference_pairs": q_preference_pairs,
         "gram_familiarity": q_gram_familiarity,
         "conversation_entities": q_conversation_entities,
@@ -3485,6 +3498,24 @@ def all_oracle_sql() -> dict[str, str]:
                count(DISTINCT conv_id) AS n_convs
         FROM pairs WHERE tool_b IS NOT NULL
         GROUP BY tool_a, tool_b
+        """,
+        "dedup_conversations": r"""
+        WITH tr AS (
+          SELECT doc_id // 4 AS conv_id,
+                 CAST(doc_id % 4 AS INTEGER) AS turn_idx,
+                 regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+          FROM documents
+        ),
+        f AS (
+          SELECT conv_id,
+                 md5(string_agg(norm, chr(10) ORDER BY turn_idx))
+                   AS fingerprint
+          FROM tr GROUP BY conv_id
+        )
+        SELECT conv_id, fingerprint,
+               CASE WHEN conv_id = min(conv_id) OVER (PARTITION BY fingerprint)
+                    THEN 1 ELSE 0 END AS keep
+        FROM f
         """,
         "preference_pairs": r"""
         WITH cand AS (

@@ -36,6 +36,7 @@ __all__ = [
     "sft_examples_budget",
     "conversation_stats",
     "tool_bigrams",
+    "dedup_conversations",
     "preference_pairs",
 ]
 
@@ -252,6 +253,48 @@ def tool_bigrams(tr: DataFrame) -> DataFrame:
     return pairs.groupBy("tool_a", "tool_b").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
+def dedup_conversations(tr: DataFrame) -> DataFrame:
+    """Conversation-level exact dedup: fingerprint = md5 of the turn-ordered,
+    whitespace-normalized, lowercased transcript (the dedup_exact
+    normalization applied per turn, joined by newline in turn_idx order) —
+    catches re-submitted / re-ingested conversations that row-level dedup
+    can't see. Keep-first rule: the smallest conv_id per fingerprint is the
+    keeper (same policy as dedup_exact's min-id rule).
+
+    Returns (conv_id, fingerprint, keep) with keep 1/0.
+
+    Dataflow: TWO exchanges, both inherent — hash(conv_id) to assemble each
+    conversation's canonical string (collect_list of (turn_idx, norm)
+    structs, array_sort for arrival-order independence, so the fingerprint
+    is a pure function of the conversation), then hash(fingerprint) for the
+    keep-first min window. Fingerprints are 32-byte strings; the second
+    shuffle never carries text.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    assembled = tr.groupBy("conv_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("turn_idx", norm.alias("norm")))
+                    ),
+                    lambda x: x["norm"],
+                ),
+                "\n",
+            )
+        ).alias("fingerprint")
+    )
+    w = Window.partitionBy("fingerprint")
+    return assembled.select(
+        "conv_id",
+        "fingerprint",
+        F.when(F.col("conv_id") == F.min("conv_id").over(w), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("keep"),
     )
 
 

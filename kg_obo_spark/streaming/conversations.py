@@ -97,6 +97,98 @@ def _make_rollup_fn(idle_timeout_ms: int):
     return _rollup
 
 
+SFT_OUTPUT_SCHEMA = (
+    "conv_id long, turn_idx int, context string, response string, "
+    "n_context_turns long"
+)
+SFT_STATE_SCHEMA = (
+    "emitted_upto int, "
+    "turns array<struct<turn_idx:int, role:string, text:string>>"
+)
+
+
+def _make_sft_fn(idle_timeout_ms: int, sep: str):
+    def _sft(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            emitted_upto, turns = state.get
+            buf = {t[0]: (t[1], t[2]) for t in turns}
+        else:
+            emitted_upto = -1
+            buf = {}
+        for pdf in pdfs:
+            for ti, role, text in zip(pdf["turn_idx"], pdf["role"], pdf["text"]):
+                ti = int(ti)
+                if ti not in buf:  # first arrival per turn wins (replays)
+                    buf[ti] = (role, text)
+        # longest contiguous prefix 0..prefix_max all present
+        prefix_max = -1
+        while (prefix_max + 1) in buf:
+            prefix_max += 1
+        out_rows = []
+        for i in range(emitted_upto + 1, prefix_max + 1):
+            role, text = buf[i]
+            if role == "assistant" and i >= 1:
+                lines = [f"{buf[j][0]}: {buf[j][1]}" for j in range(i)]
+                out_rows.append((key[0], i, sep.join(lines), text, i))
+        state.update(
+            (
+                prefix_max,
+                [(ti, r, x) for ti, (r, x) in sorted(buf.items())],
+            )
+        )
+        if idle_timeout_ms > 0:
+            state.setTimeoutDuration(idle_timeout_ms)
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    "conv_id", "turn_idx", "context", "response",
+                    "n_context_turns",
+                ],
+            )
+
+    return _sft
+
+
+def stream_sft_examples(
+    tr_stream: DataFrame, idle_timeout_ms: int = 0, sep: str = "\n"
+) -> DataFrame:
+    """Streaming SFT example assembly: emits each (context, response)
+    example exactly once, as soon as the conversation's CONTIGUOUS turn
+    prefix reaches that assistant turn — so the emitted set equals the
+    batch :func:`~kg_obo_spark.operators.conversations.sft_examples` on ANY
+    arrival order and ANY batching (out-of-order turns are buffered in
+    state until the gap fills; duplicate deliveries of a turn_idx are
+    dropped first-arrival, making the operator replay-tolerant).
+
+    State per active conversation: the received turns (bounded by
+    conversation length — prior turns must be retained verbatim because
+    they are future contexts) plus the emitted watermark. Same idle-reaping
+    trade-off as the rollup above.
+    """
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        tr_stream.select("conv_id", "turn_idx", "role", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _make_sft_fn(idle_timeout_ms, sep),
+            outputStructType=SFT_OUTPUT_SCHEMA,
+            stateStructType=SFT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout_conf,
+        )
+    )
+
+
 def stream_conversation_stats(
     tr_stream: DataFrame, idle_timeout_ms: int = 0
 ) -> DataFrame:

@@ -227,3 +227,79 @@ def test_sft_examples_budget_single_exchange_and_args(spark):
     assert "hashpartitioning(conv_id" in plan
     with pytest.raises(ValueError, match="max_context_tokens"):
         sft_examples_budget(_tr(spark), 0)
+
+
+def test_dedup_conversations_keep_first_and_normalization(spark):
+    from kg_obo_spark.operators.conversations import dedup_conversations
+
+    rows = [
+        # conv 0 and conv 5: identical after lower+whitespace-squash, with
+        # conv 5's turns arriving shuffled — min conv_id (0) must keep
+        (0, 0, "Hello   World"), (0, 1, "second turn"),
+        (5, 1, "SECOND  turn"), (5, 0, "hello world"),
+        # conv 3: same turns in a DIFFERENT turn order -> different convo
+        (3, 0, "second turn"), (3, 1, "hello world"),
+        # conv 7: unique
+        (7, 0, "something else"),
+    ]
+    tr = spark.createDataFrame(
+        [(c, t, "user", None, 0, x) for c, t, x in rows],
+        "conv_id long, turn_idx int, role string, tool string, "
+        "ts_s long, text string",
+    )
+    out = {r.conv_id: r for r in dedup_conversations(tr).collect()}
+    assert out[0].fingerprint == out[5].fingerprint
+    assert (out[0].keep, out[5].keep) == (1, 0)
+    assert out[3].fingerprint != out[0].fingerprint  # turn order matters
+    assert (out[3].keep, out[7].keep) == (1, 1)
+    # fingerprint is a pure function of the conversation: repartitioned
+    # input yields identical fingerprints
+    out2 = {r.conv_id: r.fingerprint
+            for r in dedup_conversations(tr.repartition(5)).collect()}
+    assert out2 == {c: r.fingerprint for c, r in out.items()}
+
+
+def test_dedup_conversations_two_exchanges(spark):
+    from kg_obo_spark.operators.conversations import dedup_conversations
+
+    plan = _plan(dedup_conversations(_tr(spark)))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "hashpartitioning(conv_id" in plan
+    assert "hashpartitioning(fingerprint" in plan
+    assert "Join" not in plan
+
+
+def test_write_sft_jsonl_roundtrip(spark, tmp_path):
+    import json
+    import os
+
+    from kg_obo_spark.operators.conversations import sft_examples
+    from kg_obo_spark.sources.sft import write_sft_jsonl
+
+    ex = sft_examples(_tr(spark))
+    out = str(tmp_path / "sft")
+    write_sft_jsonl(ex, out, n_shards=2)
+
+    # every line is standalone JSON with exactly the example's fields
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 2
+    objs = []
+    for p in parts:
+        with open(os.path.join(out, p)) as fh:
+            for line in fh:
+                objs.append(json.loads(line))
+    want = {(r.conv_id, r.turn_idx): r for r in ex.collect()}
+    assert len(objs) == len(want) == 4
+    for o in objs:
+        r = want[(o["conv_id"], o["turn_idx"])]
+        assert o["context"] == r.context and o["response"] == r.response
+        assert set(o) == {"conv_id", "turn_idx", "context", "response",
+                          "n_context_turns"}
+
+    # spark can read its own output back
+    back = spark.read.json(out)
+    assert back.count() == 4
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_shards"):
+        write_sft_jsonl(ex, str(tmp_path / "x"), n_shards=0)

@@ -80,7 +80,7 @@ def test_every_query_has_callable_and_runs_registered():
         # transcript analytics family (new mid-r7)
         "sft_examples", "conversation_stats", "tool_bigrams",
         "preference_pairs", "gram_familiarity", "conversation_entities",
-        "sft_examples_budget",
+        "sft_examples_budget", "dedup_conversations",
     }
     assert must_check <= set(qs)
     # rotated-out entries still exist and (when oracled) stay parity-checked

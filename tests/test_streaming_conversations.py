@@ -93,3 +93,67 @@ def test_stream_rollup_converges_to_batch(spark, tmp_path):
     # intermediate emission for conv 0 after its first batch: one turn seen
     first0 = min((r for r in emitted if r.conv_id == 0), key=lambda r: r.n_turns)
     assert (first0.n_turns, first0.total_tokens, first0.duration_s) == (1, 2, 0)
+
+
+def test_stream_sft_equals_batch_any_order(spark, tmp_path):
+    """Out-of-order turns + a duplicate delivery: the streamed example set
+    equals batch sft_examples, each emitted exactly once, only after the
+    contiguous prefix reaches the assistant turn."""
+    from kg_obo_spark.operators.conversations import sft_examples
+    from kg_obo_spark.streaming.conversations import stream_sft_examples
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = time.time() - 1000
+    stamped: set[str] = set()
+    # conv 0 arrives 2,0 | 3,dup(0) | 1 — turn 3's example must wait for 1;
+    # conv 1 arrives in order across two files
+    f0 = [
+        (0, 2, "user", None, 220, "more please"),
+        (0, 0, "user", None, 100, "hi there"),
+        (1, 0, "user", None, 400, "question"),
+        (1, 1, "assistant", None, 460, "short answer"),
+    ]
+    f1 = [
+        (0, 3, "assistant", "tool_b", 280, "ok"),
+        (0, 0, "user", None, 100, "hi there DUPLICATE (must be ignored)"),
+        (1, 2, "user", None, 520, "again"),
+    ]
+    f2 = [
+        (0, 1, "assistant", "tool_a", 160, "hello hello hello"),
+        (1, 3, "assistant", "tool_a", 580, "same length"),
+    ]
+    _write_file(spark, f0, src, base, stamped)
+    _write_file(spark, f1, src, base + 10, stamped)
+    _write_file(spark, f2, src, base + 20, stamped)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_sft_examples(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssft")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sft"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql("SELECT * FROM ssft").collect()
+    # exactly once per (conv, turn)
+    assert len(got) == len({(r.conv_id, r.turn_idx) for r in got})
+    got_map = {(r.conv_id, r.turn_idx):
+               (r.context, r.response, r.n_context_turns) for r in got}
+
+    # batch over the FIRST delivery of each turn (dup turn 0 ignored)
+    batch_rows = f0 + [f1[0], f1[2]] + f2
+    want = {(r.conv_id, r.turn_idx):
+            (r.context, r.response, r.n_context_turns)
+            for r in sft_examples(
+                spark.createDataFrame(batch_rows, SCHEMA)).collect()}
+    assert got_map == want
+    assert (0, 3) in got_map and got_map[(0, 3)][2] == 3
