@@ -1561,6 +1561,24 @@ def q_sft_examples_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sft_examples_budget(_transcripts(spark, sf_dir), max_context_tokens=80)
 
 
+def q_sft_examples_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT assembly under a 140-SUBWORD context budget: the tokenizer seam
+    (GreedyWordpiece, the pack/chunk _bpe token model) composed with the
+    suffix-cumsum truncation rule — context budgets in the units a training
+    run actually measures. The subword count stage is map-side
+    (mapInPandas), so the op keeps ONE hash(conv_id) exchange; the DuckDB
+    oracle recomputes the max-munch segmentation with the shared-vocab
+    recursive CTE and mirrors the budget chain."""
+    from kg_obo_spark.functions.tokenizer import GreedyWordpiece
+    from kg_obo_spark.operators.conversations import sft_examples_budget
+
+    return sft_examples_budget(
+        _transcripts(spark, sf_dir),
+        max_context_tokens=140,
+        tokenizer=GreedyWordpiece(),
+    )
+
+
 def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation rollup (turns by role, tool calls, exact token
     totals, wall-clock span) — all-integer output, one exchange."""
@@ -1576,6 +1594,17 @@ def q_tool_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg_obo_spark.operators.conversations import tool_bigrams
 
     return tool_bigrams(_transcripts(spark, sf_dir))
+
+
+def q_conversation_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free train/val/test split at conversation granularity (90/5/5):
+    every turn of a conversation gets the same split via the md5 bucket of
+    conv_id. Zero-exchange codegen projection; plan-pinned."""
+    from kg_obo_spark.operators.conversations import assign_conversation_splits
+
+    return assign_conversation_splits(_transcripts(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "split_bucket", "split"
+    )
 
 
 def q_dedup_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1718,6 +1747,8 @@ _ROTATED_OUT = (
     "corpus_scrub_spans",  # parked for conversation_entities (r6-green)
     "text_repetition_ngrams",  # parked for sft_examples_budget (r6-green)
     "pack_sequences",  # parked for dedup_conversations (r6-green)
+    "mixture_resample",  # parked for conversation_splits (r6-green)
+    "text_decontaminate",  # parked for sft_examples_budget_bpe (r6-green)
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -1799,9 +1830,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # layer beyond KG construction
         "sft_examples": q_sft_examples,
         "sft_examples_budget": q_sft_examples_budget,
+        "sft_examples_budget_bpe": q_sft_examples_budget_bpe,
         "conversation_stats": q_conversation_stats,
         "tool_bigrams": q_tool_bigrams,
         "dedup_conversations": q_dedup_conversations,
+        "conversation_splits": q_conversation_splits,
         "preference_pairs": q_preference_pairs,
         "gram_familiarity": q_gram_familiarity,
         "conversation_entities": q_conversation_entities,
@@ -1931,6 +1964,90 @@ def _wordpiece_pack_sql() -> str:
                least(tok_end, (seq_id + 1) * 512)
                  - greatest(tok_start, seq_id * 512) AS n_tokens
         FROM b
+        """
+
+
+def _wordpiece_sft_budget_sql() -> str:
+    """DuckDB mirror of q_sft_examples_budget_bpe: the shared-vocab
+    max-munch recursive CTE gives per-distinct-word piece counts, per-turn
+    subword totals come from a word join (LEFT JOIN + coalesce covers
+    token-free turns), and the sft_examples_budget suffix-cumsum chain runs
+    over those counts with budget 140."""
+    from kg_obo_spark.functions.tokenizer import DEFAULT_WORDPIECE_VOCAB
+
+    vals = ", ".join(f"('{p}')" for p in DEFAULT_WORDPIECE_VOCAB)
+    return f"""
+        WITH RECURSIVE v(piece) AS (VALUES {vals}),
+        tr AS (
+          SELECT doc_id // 4 AS conv_id,
+                 CAST(doc_id % 4 AS INTEGER) AS turn_idx,
+                 CASE WHEN doc_id % 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 text
+          FROM documents
+        ),
+        w AS (
+          SELECT conv_id, turn_idx,
+                 unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    tk -> len(tk) > 0)) AS word
+          FROM tr
+        ),
+        dw AS (SELECT DISTINCT word FROM w),
+        seg(word, pos, n) AS (
+          SELECT word, 0, 0 FROM dw
+          UNION ALL
+          SELECT word,
+                 pos + coalesce((SELECT max(len(piece)) FROM v
+                                 WHERE piece = substr(word, pos + 1,
+                                                      len(piece))), 1),
+                 n + 1
+          FROM seg WHERE pos < len(word)
+        ),
+        wp AS (SELECT word, max(n) AS n_pieces FROM seg GROUP BY word),
+        tn AS (
+          SELECT w.conv_id, w.turn_idx,
+                 CAST(sum(wp.n_pieces) AS BIGINT) AS nt
+          FROM w JOIN wp USING (word) GROUP BY w.conv_id, w.turn_idx
+        ),
+        t AS (
+          SELECT tr.conv_id, tr.turn_idx, tr.role, tr.text,
+                 coalesce(tn.nt, 0) AS nt
+          FROM tr LEFT JOIN tn
+            ON tr.conv_id = tn.conv_id AND tr.turn_idx = tn.turn_idx
+        ),
+        c AS (
+          SELECT conv_id, turn_idx, role, text, nt,
+                 CAST(sum(nt) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                    ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
+          FROM t
+        ),
+        a AS (
+          SELECT conv_id, turn_idx, role, text,
+                 cum - nt AS cprev,
+                 array_agg(struct_pack(
+                     line := role || ': ' || text,
+                     cum_prev := cum - nt))
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS arr
+          FROM c
+        ),
+        k AS (
+          SELECT conv_id, turn_idx, text, cprev,
+                 list_filter(coalesce(arr, []),
+                             x -> x.cum_prev >= cprev - 140) AS kept
+          FROM a WHERE role = 'assistant' AND turn_idx >= 1
+        )
+        SELECT conv_id, turn_idx,
+               coalesce(array_to_string(list_transform(kept, x -> x.line),
+                                        chr(10)), '') AS context,
+               text AS response,
+               CAST(len(kept) AS BIGINT) AS n_context_turns,
+               CAST(CASE WHEN len(kept) > 0
+                         THEN cprev - kept[1].cum_prev
+                         ELSE 0 END AS BIGINT) AS n_context_tokens
+        FROM k
         """
 
 
@@ -3126,6 +3243,7 @@ def all_oracle_sql() -> dict[str, str]:
         """,
         "text_pii_scrub": _pii_oracle_sql(),
         "pack_sequences_bpe": _wordpiece_pack_sql(),
+        "sft_examples_budget_bpe": _wordpiece_sft_budget_sql(),
         "chunk_documents_bpe": _wordpiece_chunk_sql(),
         # keep-first scrub: the duplicate_spans chain (r7 merged-island rule),
         # run text sliced per span, global-first occurrence per distinct run
@@ -3498,6 +3616,25 @@ def all_oracle_sql() -> dict[str, str]:
                count(DISTINCT conv_id) AS n_convs
         FROM pairs WHERE tool_b IS NOT NULL
         GROUP BY tool_a, tool_b
+        """,
+        "conversation_splits": r"""
+        WITH tr AS (
+          SELECT doc_id // 4 AS conv_id,
+                 CAST(doc_id % 4 AS INTEGER) AS turn_idx
+          FROM documents
+        ),
+        b AS (
+          SELECT conv_id, turn_idx,
+                 CAST(CONCAT('0x',
+                      substr(md5(CAST(conv_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 10000 AS split_bucket
+          FROM tr
+        )
+        SELECT conv_id, turn_idx, split_bucket,
+               CASE WHEN split_bucket < 9000 THEN 'train'
+                    WHEN split_bucket < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
         """,
         "dedup_conversations": r"""
         WITH tr AS (

@@ -36,6 +36,7 @@ __all__ = [
     "sft_examples_budget",
     "conversation_stats",
     "tool_bigrams",
+    "assign_conversation_splits",
     "dedup_conversations",
     "preference_pairs",
 ]
@@ -115,8 +116,46 @@ def sft_examples(tr: DataFrame, sep: str = "\n") -> DataFrame:
     ).select("conv_id", "turn_idx", "context", "response", "n_context_turns")
 
 
+def _append_subword_counts(tr: DataFrame, tokenizer) -> DataFrame:
+    """Map-side pass-through that appends ``_nt0`` = the turn's subword
+    token count under ``tokenizer`` (the tokenizer-seam discipline from
+    packing/chunking: a mapInPandas stage, zero exchange, py_tokens word
+    splitting so Python and JVM stages agree on word boundaries)."""
+    from typing import Iterator as _It
+
+    import pandas as pd
+
+    from kg_obo_spark.functions.text import py_tokens
+
+    cols = tr.columns
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in tr.schema.fields
+    ) + ", _nt0 long"
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_nt0"] = pd.Series(
+                [
+                    sum(
+                        len(tokenizer.encode_word(w))
+                        for w in py_tokens(str(t))
+                    )
+                    for t in pdf["text"]
+                ],
+                dtype="int64",
+                index=pdf.index,
+            )
+            yield pdf
+
+    return tr.select(*cols).mapInPandas(gen, schema=schema)
+
+
 def sft_examples_budget(
-    tr: DataFrame, max_context_tokens: int, sep: str = "\n"
+    tr: DataFrame,
+    max_context_tokens: int,
+    sep: str = "\n",
+    tokenizer=None,
 ) -> DataFrame:
     """SFT example assembly under a CONTEXT-WINDOW TOKEN BUDGET: like
     :func:`sft_examples`, but the context keeps only the most recent prior
@@ -125,6 +164,12 @@ def sft_examples_budget(
     prior turn that doesn't fit is dropped entirely (turn granularity — no
     mid-turn splits), so the context can be empty while the example row
     survives.
+
+    ``tokenizer`` (the packing/chunking seam, e.g.
+    :class:`~kg_obo_spark.functions.tokenizer.GreedyWordpiece`) switches the
+    budget to SUBWORD token counts — the units a training run's context
+    window is actually measured in (~1.8x whitespace on this corpus) —
+    via a map-side count stage; None keeps the whitespace model.
 
     Returns (conv_id, turn_idx, context, response, n_context_turns,
     n_context_tokens).
@@ -144,7 +189,11 @@ def sft_examples_budget(
         raise ValueError(
             f"max_context_tokens must be positive, got {max_context_tokens}"
         )
-    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    if tokenizer is not None:
+        tr = _append_subword_counts(tr, tokenizer)
+        n_tok = F.col("_nt0")
+    else:
+        n_tok = F.size(tokens(F.col("text"))).cast("long")
     line = F.concat_ws(": ", F.col("role"), F.col("text"))
     w_cum = (
         Window.partitionBy("conv_id")
@@ -253,6 +302,46 @@ def tool_bigrams(tr: DataFrame) -> DataFrame:
     return pairs.groupBy("tool_a", "tool_b").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
+def assign_conversation_splits(
+    tr: DataFrame,
+    train_bp: int = 9000,
+    val_bp: int = 500,
+    test_bp: int = 500,
+) -> DataFrame:
+    """Leak-free train/val/test assignment at CONVERSATION granularity:
+    every turn of a conversation lands in the same split. Splitting
+    transcript corpora by ROW leaks a conversation's remaining turns into
+    eval (the classic contamination bug for dialogue data); hashing the
+    GROUP key fixes it for free. Basis points are 1/SAMPLE_MOD units and
+    must sum exactly to SAMPLE_MOD (a total partition — nothing silently
+    dropped).
+
+    Adds a ``split`` column ('train' | 'val' | 'test') and the underlying
+    ``split_bucket``. Pure codegen projection over the scan (the md5 bucket
+    of conv_id, the same engine-portable rule as sampling.sample_bucket) —
+    ZERO exchange, plan-pinned in tests/test_conversations.py.
+    """
+    from kg_obo_spark.operators.sampling import SAMPLE_MOD, sample_bucket
+
+    parts = {"train": train_bp, "val": val_bp, "test": test_bp}
+    for name, bp in parts.items():
+        if bp < 0:
+            raise ValueError(f"{name}_bp must be non-negative, got {bp}")
+    if sum(parts.values()) != SAMPLE_MOD:
+        raise ValueError(
+            f"split sizes must sum to {SAMPLE_MOD}, got {sum(parts.values())}"
+        )
+    b = sample_bucket(F.col("conv_id"))
+    split = (
+        F.when(b < F.lit(train_bp), F.lit("train"))
+        .when(b < F.lit(train_bp + val_bp), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return tr.select(
+        "*", b.alias("split_bucket"), split.alias("split")
     )
 
 

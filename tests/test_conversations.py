@@ -303,3 +303,82 @@ def test_write_sft_jsonl_roundtrip(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="n_shards"):
         write_sft_jsonl(ex, str(tmp_path / "x"), n_shards=0)
+
+
+def test_conversation_splits_leak_free_and_plan(spark):
+    from kg_obo_spark.operators.conversations import assign_conversation_splits
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(400)], "doc_id long, text string"
+    )
+    tr = transcripts_from_documents(docs)
+    out = assign_conversation_splits(tr).collect()
+    # every turn of a conversation lands in ONE split (leak-free by group)
+    by_conv: dict[int, set] = {}
+    for r in out:
+        by_conv.setdefault(r.conv_id, set()).add((r.split, r.split_bucket))
+    assert all(len(v) == 1 for v in by_conv.values())
+    # deterministic and total: every row labeled, all three splits present
+    # at 100 conversations with a 90/5/5 partition (md5-dependent but fixed)
+    labels = {s for v in by_conv.values() for s, _ in v}
+    assert labels <= {"train", "val", "test"}
+    assert "train" in labels
+    # bucket ranges respect the boundaries
+    for v in by_conv.values():
+        ((s, b),) = v
+        if s == "train":
+            assert b < 9000
+        elif s == "val":
+            assert 9000 <= b < 9500
+        else:
+            assert b >= 9500
+
+    plan = _plan(assign_conversation_splits(tr))
+    assert plan.count("Exchange") == 0  # pure projection
+
+    with pytest.raises(ValueError, match="sum"):
+        assign_conversation_splits(tr, 9000, 500, 400)
+    with pytest.raises(ValueError, match="non-negative"):
+        assign_conversation_splits(tr, 11000, -500, -500)
+
+
+def test_sft_examples_budget_bpe_subword_units(spark):
+    """The tokenizer seam changes the budget UNITS: a prior turn whose
+    whitespace count fits the budget but whose subword count doesn't gets
+    truncated away under the BPE model."""
+    from kg_obo_spark.functions.tokenizer import GreedyWordpiece
+    from kg_obo_spark.operators.conversations import sft_examples_budget
+
+    tok = GreedyWordpiece()
+    # "scan group" = 2 whitespace tokens; subwords: sc+an / gr+oup = 4
+    assert sum(len(tok.encode_word(w)) for w in ["scan", "group"]) == 4
+    tr = spark.createDataFrame(
+        [
+            (0, 0, "user", None, 0, "scan group"),
+            (0, 1, "assistant", None, 60, "reply"),
+        ],
+        "conv_id long, turn_idx int, role string, tool string, "
+        "ts_s long, text string",
+    )
+    ws = {r.turn_idx: r for r in sft_examples_budget(tr, 3).collect()}
+    bpe = {r.turn_idx: r
+           for r in sft_examples_budget(tr, 3, tokenizer=tok).collect()}
+    # whitespace model: 2 <= 3, context kept
+    assert ws[1].context == "user: scan group"
+    assert (ws[1].n_context_turns, ws[1].n_context_tokens) == (1, 2)
+    # subword model: 4 > 3, context truncated away — but counted in pieces
+    assert (bpe[1].context, bpe[1].n_context_turns, bpe[1].n_context_tokens) \
+        == ("", 0, 0)
+    loose = {r.turn_idx: r
+             for r in sft_examples_budget(tr, 4, tokenizer=tok).collect()}
+    assert loose[1].context == "user: scan group"
+    assert loose[1].n_context_tokens == 4  # subword units
+
+
+def test_sft_examples_budget_bpe_single_exchange(spark):
+    from kg_obo_spark.functions.tokenizer import GreedyWordpiece
+    from kg_obo_spark.operators.conversations import sft_examples_budget
+
+    plan = _plan(sft_examples_budget(_tr(spark), 8, tokenizer=GreedyWordpiece()))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(conv_id" in plan
