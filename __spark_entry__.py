@@ -1579,6 +1579,26 @@ def q_sft_examples_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT training-sequence layout end-to-end: budget-80 example assembly
+    -> concat-and-chunk packing (budget 128, 8 shards, seed 2) with the
+    LOSS-MASK geometry (n_loss_tokens per slice = the response-token overlap
+    — context tokens are masked in SFT). The mask boundary rides the pack
+    shuffle as a passthrough column, never a join. All-integer output."""
+    from kg_obo_spark.operators.conversations import sft_examples_budget
+    from kg_obo_spark.operators.packing import pack_sft_examples
+
+    ex = sft_examples_budget(_transcripts(spark, sf_dir), max_context_tokens=80)
+    ex = ex.select(
+        (F.col("conv_id") * 4 + F.col("turn_idx")).cast("long").alias(
+            "example_id"
+        ),
+        "context",
+        "response",
+    )
+    return pack_sft_examples(ex, budget=128, n_shards=8, seed=2)
+
+
 def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation rollup (turns by role, tool calls, exact token
     totals, wall-clock span) — all-integer output, one exchange."""
@@ -1749,6 +1769,7 @@ _ROTATED_OUT = (
     "pack_sequences",  # parked for dedup_conversations (r6-green)
     "mixture_resample",  # parked for conversation_splits (r6-green)
     "text_decontaminate",  # parked for sft_examples_budget_bpe (r6-green)
+    "text_quality_filter",  # parked for pack_sft_examples (r6-green)
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -1831,6 +1852,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_examples": q_sft_examples,
         "sft_examples_budget": q_sft_examples_budget,
         "sft_examples_budget_bpe": q_sft_examples_budget_bpe,
+        "pack_sft_examples": q_pack_sft_examples,
         "conversation_stats": q_conversation_stats,
         "tool_bigrams": q_tool_bigrams,
         "dedup_conversations": q_dedup_conversations,
@@ -3574,6 +3596,102 @@ def all_oracle_sql() -> dict[str, str]:
                          THEN cprev - kept[1].cum_prev
                          ELSE 0 END AS BIGINT) AS n_context_tokens
         FROM k
+        """,
+        # SFT layout end-to-end: the budget-80 example chain feeds the pack
+        # window/explode/slice arithmetic (seed 2, 8 shards, budget 128)
+        # plus the loss-mask overlap — every token offset value-verified
+        "pack_sft_examples": r"""
+        WITH tr AS (
+          SELECT doc_id // 4 AS conv_id,
+                 CAST(doc_id % 4 AS INTEGER) AS turn_idx,
+                 CASE WHEN doc_id % 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 text,
+                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                      tk -> len(tk) > 0)) AS BIGINT) AS nt
+          FROM documents
+        ),
+        c AS (
+          SELECT conv_id, turn_idx, role, text, nt,
+                 CAST(sum(nt) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                    ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
+          FROM tr
+        ),
+        a AS (
+          SELECT conv_id, turn_idx, role, text,
+                 cum - nt AS cprev,
+                 array_agg(struct_pack(
+                     line := role || ': ' || text,
+                     cum_prev := cum - nt))
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS arr
+          FROM c
+        ),
+        k AS (
+          SELECT conv_id, turn_idx, text, cprev,
+                 list_filter(coalesce(arr, []),
+                             x -> x.cum_prev >= cprev - 80) AS kept
+          FROM a WHERE role = 'assistant' AND turn_idx >= 1
+        ),
+        ex AS (
+          SELECT conv_id * 4 + turn_idx AS example_id,
+                 coalesce(array_to_string(list_transform(kept, x -> x.line),
+                                          chr(10)), '') AS context,
+                 text AS response
+          FROM k
+        ),
+        cnt AS (
+          SELECT example_id,
+                 CAST(len(list_filter(string_split_regex(trim(context),
+                                                         '\s+'),
+                                      tk -> len(tk) > 0)) AS BIGINT) AS nctx,
+                 CAST(len(list_filter(string_split_regex(trim(context),
+                                                         '\s+'),
+                                      tk -> len(tk) > 0))
+                    + len(list_filter(string_split_regex(trim(response),
+                                                         '\s+'),
+                                      tk -> len(tk) > 0)) AS BIGINT) AS n_tok
+          FROM ex
+        ),
+        t AS (
+          SELECT example_id, nctx, n_tok,
+                 CAST(CAST(CONCAT('0x',
+                      substr(md5('2:' || CAST(example_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 8 AS INTEGER) AS shard,
+                 md5('2:' || CAST(example_id AS VARCHAR)) AS order_key
+          FROM cnt
+        ),
+        s AS (
+          SELECT example_id, nctx, shard, n_tok,
+                 CAST(sum(n_tok) OVER (PARTITION BY shard
+                                       ORDER BY order_key, example_id
+                                       ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS tok_end
+          FROM t WHERE n_tok > 0
+        ),
+        b AS (
+          SELECT shard, example_id, nctx,
+                 tok_end - n_tok AS tok_start, tok_end,
+                 unnest(generate_series((tok_end - n_tok) // 128,
+                                        (tok_end - 1) // 128)) AS seq_id
+          FROM s
+        ),
+        sl AS (
+          SELECT shard, seq_id, example_id, nctx, tok_start, tok_end,
+                 greatest(tok_start, seq_id * 128) AS g_start,
+                 least(tok_end, (seq_id + 1) * 128) AS g_end
+          FROM b
+        )
+        SELECT shard, seq_id, example_id,
+               g_start - seq_id * 128 AS seq_pos,
+               g_start - tok_start AS ex_offset,
+               g_end - g_start AS n_tokens,
+               greatest(0, (g_end - tok_start)
+                           - greatest(g_start - tok_start, nctx))
+                 AS n_loss_tokens
+        FROM sl
         """,
         "conversation_stats": r"""
         WITH tr AS (

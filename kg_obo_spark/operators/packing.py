@@ -84,12 +84,33 @@ def pack_sequences(
         )
     else:
         counts = tokenizer.counts_frame(df, id_col=id_col, text_col=text_col)
+    return pack_counted(counts, budget, n_shards=n_shards, seed=seed, id_col=id_col)
+
+
+def pack_counted(
+    counts: DataFrame,
+    budget: int,
+    n_shards: int = 64,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """The packing dataflow over a pre-counted frame (``id_col``, ``n_tok``
+    [, passthrough...]): epoch shard/order assignment, the per-shard
+    running-count window (the ONE exchange), boundary explode, slice
+    arithmetic. ``passthrough`` columns ride the window untouched and come
+    back on every output row (unit metadata such as an SFT example's mask
+    boundary — no join needed). pack_sequences delegates here; the plan
+    shape and output contract are its docstring's."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
     d = epoch_shard_assignment(counts, n_shards=n_shards, seed=seed, id_col=id_col)
     d = d.select(
         "shard",
         "order_key",
         F.col(id_col),
         "n_tok",
+        *passthrough,
     ).filter(F.col("n_tok") > 0)
     w = (
         Window.partitionBy("shard")
@@ -102,16 +123,19 @@ def pack_sequences(
         "shard",
         id_col,
         "n_tok",
+        *passthrough,
         F.sum("n_tok").over(w).alias("tok_end"),
     ).select(
         "shard",
         id_col,
+        *passthrough,
         (F.col("tok_end") - F.col("n_tok")).alias("tok_start"),
         "tok_end",
     )
     d = d.select(
         "shard",
         id_col,
+        *passthrough,
         "tok_start",
         "tok_end",
         F.explode(
@@ -128,7 +152,63 @@ def pack_sequences(
         "shard",
         F.col("seq_id").cast("long").alias("seq_id"),
         F.col(id_col),
+        *passthrough,
         (slice_start - seq_start).cast("long").alias("seq_pos"),
         (slice_start - F.col("tok_start")).cast("long").alias("doc_offset"),
         (slice_end - slice_start).cast("long").alias("n_tokens"),
+    )
+
+
+def pack_sft_examples(
+    examples: DataFrame,
+    budget: int,
+    n_shards: int = 64,
+    seed: int = 0,
+    id_col: str = "example_id",
+    context_col: str = "context",
+    response_col: str = "response",
+) -> DataFrame:
+    """Pack SFT (context, response) examples into fixed-``budget`` training
+    sequences WITH the loss-mask geometry a trainer needs: concat-and-chunk
+    over the rendered example token stream (context tokens then response
+    tokens), emitting per-(example, sequence) slices plus how many of each
+    slice's tokens are loss-active (response tokens — context tokens are
+    masked out of the loss in SFT).
+
+    Returns (shard, seq_id, ``id_col``, seq_pos, ex_offset, n_tokens,
+    n_loss_tokens): the pack_sequences slice contract over examples, where
+    ``ex_offset`` is the slice's token offset within the example and
+    ``n_loss_tokens = |slice ∩ [n_context_tokens, n_total)|`` — summing it
+    per sequence gives the sequence's supervised-token count; a slice
+    entirely inside the context contributes 0.
+
+    Token counts are whitespace ``token_count`` over the RENDERED strings
+    (the "role: text" context includes its role labels — what the trainer
+    actually tokenizes), so the mask boundary is exact for the emitted
+    text. Dataflow: one map-side count projection + the pack_counted
+    window — the mask boundary rides the shuffle as a passthrough column,
+    never a join. ONE exchange on top of whatever produced the examples;
+    plan-pinned in tests/test_packing.py.
+    """
+    n_ctx = token_count(F.col(context_col))
+    n_resp = token_count(F.col(response_col))
+    counts = examples.select(
+        F.col(id_col),
+        n_ctx.cast("long").alias("_nctx"),
+        (n_ctx + n_resp).cast("long").alias("n_tok"),
+    )
+    spans = pack_counted(
+        counts, budget, n_shards=n_shards, seed=seed, id_col=id_col,
+        passthrough=("_nctx",),
+    )
+    slice_end = F.col("doc_offset") + F.col("n_tokens")
+    loss = slice_end - F.greatest(F.col("doc_offset"), F.col("_nctx"))
+    return spans.select(
+        "shard",
+        "seq_id",
+        id_col,
+        "seq_pos",
+        F.col("doc_offset").alias("ex_offset"),
+        "n_tokens",
+        F.greatest(F.lit(0), loss).cast("long").alias("n_loss_tokens"),
     )

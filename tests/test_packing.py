@@ -131,3 +131,60 @@ def test_packing_single_exchange(spark):
     plan = _plan(out)
     assert plan.count("Exchange") == 1
     assert "hashpartitioning(shard" in plan
+
+
+def test_pack_sft_examples_mask_geometry(spark):
+    """Per example: slices partition context+response tokens and the
+    loss-active tokens are exactly the response tokens; a slice entirely
+    inside the context has n_loss_tokens = 0."""
+    from kg_obo_spark.operators.packing import pack_sft_examples
+
+    rows = [
+        (0, "user: one two three", "four five"),          # 3 ctx + 2 resp
+        (1, "", "lone response"),                          # no context
+        (2, "user: " + " ".join(f"c{i}" for i in range(9)), "r1 r2 r3"),
+    ]
+    ex = spark.createDataFrame(
+        rows, "example_id long, context string, response string"
+    )
+    out = pack_sft_examples(ex, budget=4, n_shards=2, seed=7).collect()
+    ctx = {0: 4, 1: 0, 2: 10}   # rendered context token counts
+    resp = {0: 2, 1: 2, 2: 3}
+
+    by_ex: dict[int, list] = {}
+    for r in out:
+        by_ex.setdefault(r.example_id, []).append(r)
+    assert set(by_ex) == {0, 1, 2}
+    for eid, slices in by_ex.items():
+        slices.sort(key=lambda r: r.ex_offset)
+        # contiguous partition of the example's token span
+        assert slices[0].ex_offset == 0
+        for p, q in zip(slices, slices[1:]):
+            assert p.ex_offset + p.n_tokens == q.ex_offset
+        assert sum(r.n_tokens for r in slices) == ctx[eid] + resp[eid]
+        assert sum(r.n_loss_tokens for r in slices) == resp[eid]
+        for r in slices:
+            # loss overlap is exactly |slice ∩ [nctx, total)|
+            want = max(0, min(r.ex_offset + r.n_tokens, ctx[eid] + resp[eid])
+                       - max(r.ex_offset, ctx[eid]))
+            assert r.n_loss_tokens == want
+            assert 0 <= r.seq_pos < 4 and 1 <= r.n_tokens <= 4
+    # example 2 spans multiple sequences and its first full-context slice
+    # carries zero loss tokens
+    assert any(r.n_loss_tokens == 0 for r in by_ex[2])
+
+
+def test_pack_sft_examples_single_exchange(spark):
+    from kg_obo_spark.operators.packing import pack_sft_examples
+
+    ex = spark.createDataFrame(
+        [(i, "user: a b c", "d e") for i in range(6)],
+        "example_id long, context string, response string",
+    )
+    out = pack_sft_examples(ex, budget=4, n_shards=2, seed=7)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(shard" in plan
+    assert "Join" not in plan  # the mask boundary is a passthrough column
