@@ -1679,6 +1679,27 @@ def q_conversation_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_comention_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted co-mention edges: exact counts + fixed-point lift score
+    (lift orders pairs identically to PMI, no float log). The per-turn
+    reduction is materialized once and feeds pair counts, term counts
+    (broadcast back), and the scalar turn count."""
+    from kg_obo_spark.operators.materialize import co_mention_weights
+
+    onto = _doc_pipeline_ontology()
+    docs = _t(spark, sf_dir, "documents")
+    tr = docs.select(
+        F.floor(F.col("doc_id") / 4).cast("string").alias("conv_id"),
+        F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("turn_idx"),
+        "text",
+    )
+    mentions = extract_mentions(tr, onto)
+    terms_df = spark.createDataFrame([(t["id"],) for t in onto.terms], "id string")
+    eq = spark.createDataFrame(onto.xrefs, "a string, b string")
+    cm = canonical_mentions(mentions, canonical_map(terms_df, eq))
+    return co_mention_weights(cm)
+
+
 def q_gram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-statistic LM scoring (KenLM-filter proxy): mean corpus
     frequency of each document's token bigrams, exact fixed-point (x 1e6).
@@ -1770,6 +1791,7 @@ _ROTATED_OUT = (
     "mixture_resample",  # parked for conversation_splits (r6-green)
     "text_decontaminate",  # parked for sft_examples_budget_bpe (r6-green)
     "text_quality_filter",  # parked for pack_sft_examples (r6-green)
+    "top_terms_tfidf",  # parked for kg_comention_weights (r6-green)
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -1860,6 +1882,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pairs": q_preference_pairs,
         "gram_familiarity": q_gram_familiarity,
         "conversation_entities": q_conversation_entities,
+        "kg_comention_weights": q_kg_comention_weights,
         "sample_hash_mod": q_sample_hash_mod,
         "sample_stratified": q_sample_stratified,
         "text_lang_id": q_text_lang_id,
@@ -2255,6 +2278,54 @@ def all_oracle_sql() -> dict[str, str]:
                count(DISTINCT tid) AS n_entities,
                count(DISTINCT turn_idx) AS n_turns_with_mentions
         FROM cmention GROUP BY conv_id
+        """,
+        # Weighted co-mention edges: the extraction/CC/rewrite chain, then
+        # exact pair/term/turn counts + the fixed-point lift
+        "kg_comention_weights": f"""
+        WITH RECURSIVE terms(word, term_id) AS (VALUES {_DOC_TERMS_SQL_VALUES}),
+        xr(a, b) AS (VALUES {_DOC_XREFS_SQL_VALUES}),
+        tr AS (
+          SELECT CAST(CAST(FLOOR(doc_id / 4) AS BIGINT) AS VARCHAR) AS conv_id,
+                 CAST(doc_id % 4 AS INT) AS turn_idx, text
+          FROM documents
+        ),
+        mentions AS (
+          SELECT DISTINCT tr.conv_id, tr.turn_idx, t.term_id
+          FROM tr JOIN terms t
+            ON regexp_matches(tr.text,
+               '(?i)(^|[^A-Za-z0-9_])' || t.word || '($|[^A-Za-z0-9_-])')
+        ),
+        sym AS (SELECT a AS u, b AS v FROM xr UNION SELECT b, a FROM xr),
+        reach(id, r) AS (
+          SELECT u, u FROM sym
+          UNION
+          SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.id
+        ),
+        canon AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+        cm AS (
+          SELECT DISTINCT m.conv_id, m.turn_idx,
+                 COALESCE(c.canonical_id, m.term_id) AS tid
+          FROM mentions m LEFT JOIN canon c ON m.term_id = c.id
+        ),
+        n AS (
+          SELECT count(*) AS n_turns FROM (
+            SELECT DISTINCT conv_id, turn_idx FROM cm)
+        ),
+        tc AS (SELECT tid, count(*) AS n_t FROM cm GROUP BY tid),
+        pairs AS (
+          SELECT x.tid AS a, y.tid AS b, count(*) AS n_ab
+          FROM cm x JOIN cm y
+            ON x.conv_id = y.conv_id AND x.turn_idx = y.turn_idx
+               AND x.tid < y.tid
+          GROUP BY x.tid, y.tid
+        )
+        SELECT p.a, p.b, p.n_ab, ta.n_t AS n_a, tb.n_t AS n_b, n.n_turns,
+               (1000000 * p.n_ab * n.n_turns) // (ta.n_t * tb.n_t)
+                 AS lift_e6
+        FROM pairs p
+        JOIN tc ta ON p.a = ta.tid
+        JOIN tc tb ON p.b = tb.tid
+        CROSS JOIN n
         """,
         # MinHash with the md5-window signature variant: identical slot
         # arithmetic (min over distinct 3-shingles of 8-hex md5 windows),

@@ -95,6 +95,66 @@ def pairs_from_per_turn(per_turn: DataFrame) -> DataFrame:
     )
 
 
+def co_mention_weights(mentions: DataFrame) -> DataFrame:
+    """Weighted co-mention edges with an exact fixed-point LIFT score — the
+    association-strength materialization on top of the boolean co-mention
+    edge set (build_edges emits distinct pairs; a downstream ranker wants
+    how strongly two entities attract):
+
+        lift(a, b) = P(a, b) / (P(a) P(b)) = n_ab * N / (n_a * n_b)
+
+    over turns-with-mentions as the event space, emitted as
+    ``lift_e6 = (1e6 * n_ab * N) // (n_a * n_b)`` so the ranking is
+    bit-exact cross-engine (the top_terms_tfidf fixed-point discipline;
+    lift is the exp of PMI, so it orders pairs identically to PMI without
+    a float log).
+
+    Returns (a, b, n_ab, n_a, n_b, n_turns, lift_e6) — all counts exact.
+
+    Dataflow: the per-turn reduced frame is materialized ONCE
+    (localCheckpoint) and feeds three consumers — the codegen pair
+    expansion -> hash(a,b) count, the term-frequency aggregate
+    (dictionary-sized), and the scalar turn count — so the full mention
+    volume is shuffled zero times past per_turn_terms' own reduction. The
+    per-term counts come back via BROADCAST joins (the term domain is the
+    dictionary, tiny by construction). At 10^12 turns the BIGINT product
+    1e6 * n_ab * N can overflow; rescale to per-shard lifts or DECIMAL(38)
+    there — the contract-scale arithmetic is exact as written.
+    """
+    pt = per_turn_terms(mentions).localCheckpoint()
+    n_turns = pt.count()  # scalar collect: one long
+    pair_counts = (
+        pairs_from_per_turn(pt)
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    term_counts = (
+        pt.select(F.explode("terms").alias("_t"))
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    ta = term_counts.select(
+        F.col("_t").alias("a"), F.col("_n").alias("n_a")
+    )
+    tb = term_counts.select(
+        F.col("_t").alias("b"), F.col("_n").alias("n_b")
+    )
+    out = (
+        pair_counts.join(F.broadcast(ta), "a")
+        .join(F.broadcast(tb), "b")
+        .withColumn("n_turns", F.lit(n_turns).cast("long"))
+    )
+    return out.select(
+        "a",
+        "b",
+        F.col("n_ab").cast("long").alias("n_ab"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "n_turns",
+        F.expr("div(1000000 * n_ab * n_turns, n_a * n_b)").alias("lift_e6"),
+    )
+
+
 def build_edges(
     mentions: DataFrame, onto: Ontology, include_isa: bool = True
 ) -> DataFrame:

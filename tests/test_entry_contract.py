@@ -82,7 +82,7 @@ def test_every_query_has_callable_and_runs_registered():
         "preference_pairs", "gram_familiarity", "conversation_entities",
         "sft_examples_budget", "dedup_conversations",
         "conversation_splits", "sft_examples_budget_bpe",
-        "pack_sft_examples",
+        "pack_sft_examples", "kg_comention_weights",
     }
     assert must_check <= set(qs)
     # rotated-out entries still exist and (when oracled) stay parity-checked

@@ -81,3 +81,36 @@ def test_obojson_export(spark, onto, tmp_path):
     assert {"id", "lbl", "type", "meta"} <= set(nodes.columns)
     assert {"sub", "pred", "obj"} == set(edges.columns)
     assert nodes.count() == 2
+
+
+def test_co_mention_weights_exact_lift(spark):
+    """Hand-computed counts and fixed-point lift; term counts arrive via
+    broadcast joins, never a shuffled join of the pair frame."""
+    from kg_obo_spark.operators.materialize import co_mention_weights
+
+    rows = [  # (conv, turn, term): 4 turns with mentions
+        ("c0", 0, "X"), ("c0", 0, "Y"),
+        ("c0", 1, "X"), ("c0", 1, "Y"), ("c0", 1, "Z"),
+        ("c1", 0, "X"),
+        ("c1", 1, "Y"), ("c1", 1, "Z"),
+    ]
+    m = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, term_id string"
+    )
+    out = {(r.a, r.b): r for r in co_mention_weights(m).collect()}
+    # N=4, n_X=3, n_Y=3, n_Z=2; n_XY=2, n_XZ=1, n_YZ=2
+    assert set(out) == {("X", "Y"), ("X", "Z"), ("Y", "Z")}
+    xy = out[("X", "Y")]
+    assert (xy.n_ab, xy.n_a, xy.n_b, xy.n_turns) == (2, 3, 3, 4)
+    assert xy.lift_e6 == (1_000_000 * 2 * 4) // (3 * 3)  # 888888
+    yz = out[("Y", "Z")]
+    assert yz.lift_e6 == (1_000_000 * 2 * 4) // (3 * 2)  # 1333333 > 1e6: attract
+    xz = out[("X", "Z")]
+    assert xz.lift_e6 == (1_000_000 * 1 * 4) // (3 * 2)  # 666666 < 1e6: repel
+
+    df = co_mention_weights(m)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
