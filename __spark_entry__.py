@@ -1599,6 +1599,27 @@ def q_pack_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sft_examples(ex, budget=128, n_shards=8, seed=2)
 
 
+def q_pack_sft_examples_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Example-ATOMIC SFT packing (the no-split policy a trainer uses when
+    truncated responses are unacceptable): greedy first-fit in epoch order,
+    one applyInPandas task per shard (the fill is a sequential fold no
+    window expresses), oversized examples excluded. The DuckDB oracle
+    replays the fold as a recursive CTE stepping one unit per shard per
+    iteration — every seq boundary value-verified."""
+    from kg_obo_spark.operators.conversations import sft_examples_budget
+    from kg_obo_spark.operators.packing import pack_sft_examples_atomic
+
+    ex = sft_examples_budget(_transcripts(spark, sf_dir), max_context_tokens=80)
+    ex = ex.select(
+        (F.col("conv_id") * 4 + F.col("turn_idx")).cast("long").alias(
+            "example_id"
+        ),
+        "context",
+        "response",
+    )
+    return pack_sft_examples_atomic(ex, budget=128, n_shards=4, seed=3)
+
+
 def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation rollup (turns by role, tool calls, exact token
     totals, wall-clock span) — all-integer output, one exchange."""
@@ -1792,6 +1813,7 @@ _ROTATED_OUT = (
     "text_decontaminate",  # parked for sft_examples_budget_bpe (r6-green)
     "text_quality_filter",  # parked for pack_sft_examples (r6-green)
     "top_terms_tfidf",  # parked for kg_comention_weights (r6-green)
+    "duplicate_spans",  # parked for pack_sft_examples_atomic (r6-green)
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -1875,6 +1897,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_examples_budget": q_sft_examples_budget,
         "sft_examples_budget_bpe": q_sft_examples_budget_bpe,
         "pack_sft_examples": q_pack_sft_examples,
+        "pack_sft_examples_atomic": q_pack_sft_examples_atomic,
         "conversation_stats": q_conversation_stats,
         "tool_bigrams": q_tool_bigrams,
         "dedup_conversations": q_dedup_conversations,
@@ -3763,6 +3786,93 @@ def all_oracle_sql() -> dict[str, str]:
                            - greatest(g_start - tok_start, nctx))
                  AS n_loss_tokens
         FROM sl
+        """,
+        # Example-atomic packing: the greedy first-fit fold replayed as a
+        # recursive CTE (one unit per shard per iteration)
+        "pack_sft_examples_atomic": r"""
+        WITH RECURSIVE tr AS (
+          SELECT doc_id // 4 AS conv_id,
+                 CAST(doc_id % 4 AS INTEGER) AS turn_idx,
+                 CASE WHEN doc_id % 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 text,
+                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                      tk -> len(tk) > 0)) AS BIGINT) AS nt
+          FROM documents
+        ),
+        c AS (
+          SELECT conv_id, turn_idx, role, text, nt,
+                 CAST(sum(nt) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                    ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
+          FROM tr
+        ),
+        a AS (
+          SELECT conv_id, turn_idx, role, text,
+                 cum - nt AS cprev,
+                 array_agg(struct_pack(
+                     line := role || ': ' || text,
+                     cum_prev := cum - nt))
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS arr
+          FROM c
+        ),
+        k AS (
+          SELECT conv_id, turn_idx, text, cprev,
+                 list_filter(coalesce(arr, []),
+                             x -> x.cum_prev >= cprev - 80) AS kept
+          FROM a WHERE role = 'assistant' AND turn_idx >= 1
+        ),
+        ex AS (
+          SELECT conv_id * 4 + turn_idx AS example_id,
+                 coalesce(array_to_string(list_transform(kept, x -> x.line),
+                                          chr(10)), '') AS context,
+                 text AS response
+          FROM k
+        ),
+        cnt AS (
+          SELECT example_id,
+                 CAST(len(list_filter(string_split_regex(trim(context),
+                                                         '\s+'),
+                                      tk -> len(tk) > 0))
+                    + len(list_filter(string_split_regex(trim(response),
+                                                         '\s+'),
+                                      tk -> len(tk) > 0)) AS BIGINT) AS n_tok,
+                 CAST(len(list_filter(string_split_regex(trim(response),
+                                                         '\s+'),
+                                      tk -> len(tk) > 0)) AS BIGINT) AS nloss
+          FROM ex
+        ),
+        r AS (
+          SELECT example_id, n_tok, nloss,
+                 CAST(CAST(CONCAT('0x',
+                      substr(md5('3:' || CAST(example_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 4 AS INTEGER) AS shard,
+                 row_number() OVER (
+                   PARTITION BY CAST(CAST(CONCAT('0x',
+                       substr(md5('3:' || CAST(example_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 4 AS INTEGER)
+                   ORDER BY md5('3:' || CAST(example_id AS VARCHAR)),
+                            example_id) AS rn
+          FROM cnt WHERE n_tok > 0 AND n_tok <= 128
+        ),
+        p(shard, rn, seq_id, seq_pos, fill) AS (
+          SELECT shard, rn, CAST(0 AS BIGINT), CAST(0 AS BIGINT), n_tok
+          FROM r WHERE rn = 1
+          UNION ALL
+          SELECT r.shard, r.rn,
+                 CASE WHEN p.fill + r.n_tok <= 128
+                      THEN p.seq_id ELSE p.seq_id + 1 END,
+                 CASE WHEN p.fill + r.n_tok <= 128
+                      THEN p.fill ELSE CAST(0 AS BIGINT) END,
+                 CASE WHEN p.fill + r.n_tok <= 128
+                      THEN p.fill + r.n_tok ELSE r.n_tok END
+          FROM p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1
+        )
+        SELECT r.shard, p.seq_id, r.example_id, p.seq_pos,
+               r.n_tok AS n_tokens, r.nloss AS n_loss_tokens
+        FROM p JOIN r ON r.shard = p.shard AND r.rn = p.rn
         """,
         "conversation_stats": r"""
         WITH tr AS (

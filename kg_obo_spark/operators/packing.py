@@ -212,3 +212,117 @@ def pack_sft_examples(
         "n_tokens",
         F.greatest(F.lit(0), loss).cast("long").alias("n_loss_tokens"),
     )
+
+
+def pack_examples_atomic(
+    counts: DataFrame,
+    budget: int,
+    n_shards: int = 64,
+    seed: int = 0,
+    id_col: str = "example_id",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """EXAMPLE-ATOMIC greedy packing (first-fit in epoch order, no splits):
+    unlike concat-and-chunk (:func:`pack_counted`), every unit is placed
+    whole — a new sequence starts whenever the next unit would overflow the
+    budget — which is the standard SFT packing policy (an example split
+    across sequences would train on a truncated response). Units larger
+    than the budget cannot be placed and are EXCLUDED (route them through
+    chunking/truncation upstream); empty units are dropped.
+
+    Input: (``id_col``, ``n_tok`` [, passthrough...]). Returns
+    (shard, seq_id, ``id_col``, [passthrough...,] seq_pos, n_tokens).
+
+    Dataflow: the fill state is a SEQUENTIAL fold — seq boundaries depend
+    on every predecessor, which no window/prefix-sum expresses — so this is
+    the legitimate applyInPandas case: one task per shard runs the greedy
+    fill over its (order_key, id)-sorted units, parallel ACROSS shards.
+    Exactly the window exchange pack_counted pays, same key; pick
+    ``n_shards`` so one shard's unit rows fit a task (md5 sharding keeps
+    shards uniform). The layout is a pure function of
+    (corpus, budget, n_shards, seed) — partitioning-independent, mirrored
+    by a recursive-CTE oracle.
+    """
+    import pandas as pd
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    d = epoch_shard_assignment(counts, n_shards=n_shards, seed=seed, id_col=id_col)
+    d = d.select("shard", "order_key", id_col, "n_tok", *passthrough).filter(
+        (F.col("n_tok") > 0) & (F.col("n_tok") <= budget)
+    )
+    id_type = d.schema[id_col].dataType.simpleString()
+    pt_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in d.schema.fields
+        if f.name in passthrough
+    )
+    out_schema = (
+        f"shard int, seq_id long, {id_col} {id_type}{pt_schema}, "
+        "seq_pos long, n_tokens long"
+    )
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["order_key", id_col], kind="mergesort")
+        seq_ids, seq_poss = [], []
+        seq, pos = 0, 0
+        for n in pdf["n_tok"]:
+            n = int(n)
+            if pos + n > budget:
+                seq += 1
+                pos = 0
+            seq_ids.append(seq)
+            seq_poss.append(pos)
+            pos += n
+        out = pd.DataFrame(
+            {
+                "shard": pdf["shard"].to_numpy(),
+                "seq_id": pd.Series(seq_ids, dtype="int64"),
+                id_col: pdf[id_col].to_numpy(),
+                **{c: pdf[c].to_numpy() for c in passthrough},
+                "seq_pos": pd.Series(seq_poss, dtype="int64"),
+                "n_tokens": pdf["n_tok"].astype("int64").to_numpy(),
+            }
+        )
+        return out
+
+    return d.groupBy("shard").applyInPandas(fill, schema=out_schema)
+
+
+def pack_sft_examples_atomic(
+    examples: DataFrame,
+    budget: int,
+    n_shards: int = 64,
+    seed: int = 0,
+    id_col: str = "example_id",
+    context_col: str = "context",
+    response_col: str = "response",
+) -> DataFrame:
+    """Example-atomic SFT packing: :func:`pack_examples_atomic` over
+    rendered (context, response) token counts, with the loss-mask size
+    carried through (``n_loss_tokens`` = the example's response tokens —
+    whole examples are placed, so the mask is a constant per row, not an
+    overlap computation). Examples longer than the budget are excluded
+    (see pack_examples_atomic); truncate or chunk them upstream.
+
+    Returns (shard, seq_id, ``id_col``, seq_pos, n_tokens, n_loss_tokens).
+    """
+    n_ctx = token_count(F.col(context_col))
+    n_resp = token_count(F.col(response_col))
+    counts = examples.select(
+        F.col(id_col),
+        (n_ctx + n_resp).cast("long").alias("n_tok"),
+        n_resp.cast("long").alias("_nloss"),
+    )
+    placed = pack_examples_atomic(
+        counts, budget, n_shards=n_shards, seed=seed, id_col=id_col,
+        passthrough=("_nloss",),
+    )
+    return placed.select(
+        "shard",
+        "seq_id",
+        id_col,
+        "seq_pos",
+        "n_tokens",
+        F.col("_nloss").alias("n_loss_tokens"),
+    )

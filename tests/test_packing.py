@@ -188,3 +188,82 @@ def test_pack_sft_examples_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "hashpartitioning(shard" in plan
     assert "Join" not in plan  # the mask boundary is a passthrough column
+
+
+def _brute_atomic(units, budget):
+    """Reference greedy first-fit over (key, id, n_tok) sorted by key."""
+    out = {}
+    seq, pos = 0, 0
+    for _, uid, n in sorted(units):
+        if pos + n > budget:
+            seq, pos = seq + 1, 0
+        out[uid] = (seq, pos)
+        pos += n
+    return out
+
+
+def test_pack_examples_atomic_matches_brute_force(spark):
+    from kg_obo_spark.operators.packing import pack_examples_atomic
+    from kg_obo_spark.operators.sampling import epoch_shard_assignment
+
+    counts = spark.createDataFrame(
+        [(i, (i * 7) % 11 + 1) for i in range(40)] + [(100, 99), (101, 0)],
+        "example_id long, n_tok long",
+    )
+    budget, n_shards, seed = 12, 3, 5
+    out = pack_examples_atomic(counts, budget, n_shards=n_shards, seed=seed)
+    got = {r.example_id: (r.shard, r.seq_id, r.seq_pos, r.n_tokens)
+           for r in out.collect()}
+    assert 100 not in got and 101 not in got  # oversized + empty excluded
+
+    order = epoch_shard_assignment(
+        counts.filter("n_tok > 0 and n_tok <= 12"),
+        n_shards=n_shards, seed=seed, id_col="example_id",
+    ).collect()
+    by_shard: dict[int, list] = {}
+    for r in order:
+        by_shard.setdefault(r.shard, []).append(
+            ((r.order_key, r.example_id), r.example_id, r.n_tok)
+        )
+    for shard, units in by_shard.items():
+        want = _brute_atomic(units, budget)
+        for (_, uid, n) in units:
+            s, sq, pos, nt = got[uid]
+            assert s == shard and nt == n
+            assert (sq, pos) == want[uid], uid
+
+    # no split: every example appears exactly once; fills never overflow
+    assert len(got) == len([u for s in by_shard.values() for u in s])
+    fills: dict[tuple, int] = {}
+    for uid, (s, sq, pos, nt) in got.items():
+        fills[(s, sq)] = max(fills.get((s, sq), 0), pos + nt)
+    assert all(v <= budget for v in fills.values())
+
+
+def test_pack_examples_atomic_partition_independent(spark):
+    from kg_obo_spark.operators.packing import pack_examples_atomic
+
+    counts = spark.createDataFrame(
+        [(i, i % 5 + 1) for i in range(30)], "example_id long, n_tok long"
+    )
+    a = pack_examples_atomic(counts, 7, n_shards=2, seed=1)
+    b = pack_examples_atomic(counts.repartition(11), 7, n_shards=2, seed=1)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pack_sft_examples_atomic_loss_is_response(spark):
+    from kg_obo_spark.operators.packing import pack_sft_examples_atomic
+
+    ex = spark.createDataFrame(
+        [
+            (0, "user: a b", "r1 r2 r3"),
+            (1, "", "only response"),
+            (2, "user: " + " ".join(f"c{i}" for i in range(20)), "x"),  # 22>8
+        ],
+        "example_id long, context string, response string",
+    )
+    out = {r.example_id: r
+           for r in pack_sft_examples_atomic(ex, 8, n_shards=1, seed=0).collect()}
+    assert set(out) == {0, 1}  # example 2 oversized, excluded
+    assert (out[0].n_tokens, out[0].n_loss_tokens) == (6, 3)
+    assert (out[1].n_tokens, out[1].n_loss_tokens) == (2, 2)
