@@ -1648,6 +1648,17 @@ def q_conversation_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialogue-RAG chunking: 3-turn windows, stride 1, per conversation.
+    ONE hash(conv_id) exchange; enumeration/slicing map-side; chunk_text
+    value-verified."""
+    from kg_obo_spark.operators.conversations import chunk_conversations
+
+    return chunk_conversations(
+        _transcripts(spark, sf_dir), window_turns=3, stride=1
+    )
+
+
 def q_dedup_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level exact dedup: md5 fingerprint of the turn-ordered
     normalized transcript + keep-first min-conv window. Two inherent
@@ -1814,6 +1825,7 @@ _ROTATED_OUT = (
     "text_quality_filter",  # parked for pack_sft_examples (r6-green)
     "top_terms_tfidf",  # parked for kg_comention_weights (r6-green)
     "duplicate_spans",  # parked for pack_sft_examples_atomic (r6-green)
+    "corpus_clean",  # parked for chunk_conversations (r6-green)
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -1902,6 +1914,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_bigrams": q_tool_bigrams,
         "dedup_conversations": q_dedup_conversations,
         "conversation_splits": q_conversation_splits,
+        "chunk_conversations": q_chunk_conversations,
         "preference_pairs": q_preference_pairs,
         "gram_familiarity": q_gram_familiarity,
         "conversation_entities": q_conversation_entities,
@@ -3934,6 +3947,41 @@ def all_oracle_sql() -> dict[str, str]:
                     WHEN split_bucket < 9500 THEN 'val'
                     ELSE 'test' END AS split
         FROM b
+        """,
+        "chunk_conversations": r"""
+        WITH tr AS (
+          SELECT doc_id // 4 AS conv_id,
+                 CAST(doc_id % 4 AS INTEGER) AS turn_idx,
+                 CASE WHEN doc_id % 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 text
+          FROM documents
+        ),
+        asm AS (
+          SELECT conv_id,
+                 array_agg(struct_pack(turn_idx := turn_idx,
+                                       line := role || ': ' || text)
+                           ORDER BY turn_idx) AS arr
+          FROM tr GROUP BY conv_id
+        ),
+        d AS (
+          SELECT conv_id, arr, len(arr) AS n,
+                 unnest(generate_series(0,
+                     CASE WHEN len(arr) <= 3 THEN 0
+                          ELSE (len(arr) - 3) END)) AS chunk_id
+          FROM asm
+        )
+        SELECT conv_id,
+               CAST(chunk_id AS BIGINT) AS chunk_id,
+               arr[chunk_id + 1].turn_idx AS first_turn_idx,
+               CAST(least(3, n - chunk_id) AS BIGINT) AS n_turns,
+               array_to_string(
+                 list_transform(
+                   list_slice(arr, chunk_id + 1,
+                              chunk_id + least(3, n - chunk_id)),
+                   x -> x.line),
+                 chr(10)) AS chunk_text
+        FROM d
         """,
         "dedup_conversations": r"""
         WITH tr AS (

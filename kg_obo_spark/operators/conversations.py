@@ -37,6 +37,7 @@ __all__ = [
     "conversation_stats",
     "tool_bigrams",
     "assign_conversation_splits",
+    "chunk_conversations",
     "dedup_conversations",
     "preference_pairs",
 ]
@@ -342,6 +343,70 @@ def assign_conversation_splits(
     )
     return tr.select(
         "*", b.alias("split_bucket"), split.alias("split")
+    )
+
+
+def chunk_conversations(
+    tr: DataFrame, window_turns: int = 4, stride: int = 2, sep: str = "\n"
+) -> DataFrame:
+    """Dialogue-RAG chunking: sliding windows of ``window_turns`` rendered
+    turns per conversation with ``stride`` overlap — the retrieval-indexing
+    splitter for transcript corpora (chunk_documents' coverage semantics at
+    TURN granularity: every turn covered, window starts at multiples of the
+    stride, the last window reaches the conversation's end, a conversation
+    shorter than one window yields exactly one chunk).
+
+    Returns (conv_id, chunk_id, first_turn_idx, n_turns, chunk_text) where
+    ``chunk_text`` is the window's turns rendered ``role: text`` joined by
+    ``sep`` and ``first_turn_idx`` is the real turn_idx of the window's
+    first turn (turn indices need not be contiguous).
+
+    Dataflow: ONE hash(conv_id) exchange (the per-conversation collect;
+    array_sort of (turn_idx, line) structs makes the order arrival-
+    independent); window enumeration and slicing are map-side HOFs with
+    fan-out bounded by conversation length / stride. Plan-pinned in
+    tests/test_conversations.py.
+    """
+    if window_turns <= 0:
+        raise ValueError(f"window_turns must be positive, got {window_turns}")
+    if not (0 < stride <= window_turns):
+        raise ValueError(
+            f"stride must be in (0, window_turns], got {stride}"
+        )
+    line = F.concat_ws(": ", F.col("role"), F.col("text"))
+    assembled = tr.groupBy("conv_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("turn_idx", line.alias("line")))
+        ).alias("_arr")
+    )
+    n = F.size("_arr")
+    n_chunks = F.when(n <= window_turns, F.lit(1)).otherwise(
+        F.floor((n - window_turns + stride - 1) / stride) + 1
+    )
+    d = assembled.select(
+        "conv_id",
+        "_arr",
+        n.alias("_n"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+            "chunk_id", "_dup"
+        ),
+    )
+    start = F.col("chunk_id") * stride  # 0-based ordinal
+    take = F.least(F.lit(window_turns), F.col("_n") - start)
+    return d.select(
+        "conv_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.element_at("_arr", start.cast("int") + 1)["turn_idx"].alias(
+            "first_turn_idx"
+        ),
+        take.cast("long").alias("n_turns"),
+        F.array_join(
+            F.transform(
+                F.slice("_arr", start.cast("int") + 1, take.cast("int")),
+                lambda x: x["line"],
+            ),
+            sep,
+        ).alias("chunk_text"),
     )
 
 

@@ -382,3 +382,46 @@ def test_sft_examples_budget_bpe_single_exchange(spark):
     plan = _plan(sft_examples_budget(_tr(spark), 8, tokenizer=GreedyWordpiece()))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "hashpartitioning(conv_id" in plan
+
+
+def test_chunk_conversations_coverage_and_plan(spark):
+    from kg_obo_spark.operators.conversations import chunk_conversations
+
+    rows = [
+        # conv 0: 5 turns (W=3, S=2 -> chunks at ordinals 0 and 2)
+        (0, 0, "user", "a"), (0, 2, "assistant", "b"), (0, 4, "user", "c"),
+        (0, 6, "assistant", "d"), (0, 8, "user", "e"),
+        # conv 1: shorter than one window -> exactly one chunk
+        (1, 0, "user", "x"), (1, 1, "assistant", "y"),
+    ]
+    tr = spark.createDataFrame(
+        [(c, t, r, None, 0, x) for c, t, r, x in rows],
+        "conv_id long, turn_idx int, role string, tool string, "
+        "ts_s long, text string",
+    )
+    out = {(r.conv_id, r.chunk_id): r
+           for r in chunk_conversations(tr, 3, 2).collect()}
+    assert set(out) == {(0, 0), (0, 1), (1, 0)}
+    c00 = out[(0, 0)]
+    assert (c00.first_turn_idx, c00.n_turns) == (0, 3)
+    assert c00.chunk_text == "user: a\nassistant: b\nuser: c"
+    c01 = out[(0, 1)]  # starts at ordinal 2 (turn_idx 4), reaches the end
+    assert (c01.first_turn_idx, c01.n_turns) == (4, 3)
+    assert c01.chunk_text == "user: c\nassistant: d\nuser: e"
+    c10 = out[(1, 0)]
+    assert (c10.first_turn_idx, c10.n_turns) == (0, 2)
+    assert c10.chunk_text == "user: x\nassistant: y"
+
+    # arrival-order independence + plan shape
+    from pyspark.sql import functions as F
+
+    shuffled = chunk_conversations(tr.orderBy(F.rand(7)).repartition(5), 3, 2)
+    assert sorted(map(tuple, shuffled.collect())) == sorted(
+        map(tuple, chunk_conversations(tr, 3, 2).collect()))
+    plan = _plan(chunk_conversations(tr, 3, 2))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+    with pytest.raises(ValueError, match="window_turns"):
+        chunk_conversations(tr, 0)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_conversations(tr, 3, 4)

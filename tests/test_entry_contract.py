@@ -83,7 +83,7 @@ def test_every_query_has_callable_and_runs_registered():
         "sft_examples_budget", "dedup_conversations",
         "conversation_splits", "sft_examples_budget_bpe",
         "pack_sft_examples", "kg_comention_weights",
-        "pack_sft_examples_atomic",
+        "pack_sft_examples_atomic", "chunk_conversations",
     }
     assert must_check <= set(qs)
     # rotated-out entries still exist and (when oracled) stay parity-checked
