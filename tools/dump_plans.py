@@ -59,6 +59,25 @@ def _epoch_plan(spark):
     return epoch_shard_assignment(docs, n_shards=16, seed=1)
 
 
+def _sft_budget_plan(spark):
+    from kg_obo_spark.operators.conversations import (
+        sft_examples_budget,
+        transcripts_from_documents,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return sft_examples_budget(transcripts_from_documents(docs), 80)
+
+
+def _sft_atomic_plan(spark):
+    from kg_obo_spark.operators.packing import pack_examples_atomic
+
+    counts = spark.createDataFrame(
+        [(i, i % 7 + 1) for i in range(50)], "example_id long, n_tok long"
+    )
+    return pack_examples_atomic(counts, budget=16, n_shards=4, seed=3)
+
+
 def main() -> None:
     spark = get_spark(app_name="plans", master="local[8]")
     onto = build_ontology()
@@ -159,6 +178,23 @@ def main() -> None:
             "with repartition(shard) + sortWithinPartitions: n_shards task-local\n"
             "sorts.",
             fmt(_epoch_plan(spark)),
+        ),
+        (
+            "SFT context assembly under a token budget (one conv exchange)",
+            "Both window frames (running cumsum + prior-struct collect) share\n"
+            "ONE Exchange hashpartitioning(conv_id); the budget rule is a\n"
+            "suffix test on the cumsum, evaluated as map-side HOFs over the\n"
+            "staged kept array. Context size is bounded by conversation\n"
+            "length, never corpus size.",
+            fmt(_sft_budget_plan(spark)),
+        ),
+        (
+            "Example-atomic packing (per-shard sequential fold)",
+            "The greedy first-fit fill is a sequential fold no window\n"
+            "expresses: FlatMapGroupsInPandas keyed by shard — ONE Exchange\n"
+            "hashpartitioning(shard), one task per shard, parallel across\n"
+            "shards; shard/order assignment is a map-side md5 projection.",
+            fmt(_sft_atomic_plan(spark)),
         ),
     ]
     with open("/root/repo/docs/PLANS.md", "w") as f:
