@@ -157,3 +157,64 @@ def test_stream_sft_equals_batch_any_order(spark, tmp_path):
                 spark.createDataFrame(batch_rows, SCHEMA)).collect()}
     assert got_map == want
     assert (0, 3) in got_map and got_map[(0, 3)][2] == 3
+
+
+def test_stream_sft_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Kill the query between micro-batches and restart from the same
+    checkpoint: buffered out-of-order state survives, nothing re-emits,
+    and the final set still equals batch."""
+    from kg_obo_spark.operators.conversations import sft_examples
+    from kg_obo_spark.streaming.conversations import stream_sft_examples
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = time.time() - 1000
+    stamped: set[str] = set()
+    f0 = [
+        (0, 0, "user", None, 100, "hi there"),
+        (0, 2, "user", None, 220, "more please"),  # gap at 1: buffered
+    ]
+    f1 = [
+        (0, 1, "assistant", "tool_a", 160, "hello hello hello"),
+        (0, 3, "assistant", "tool_b", 280, "ok"),
+    ]
+    _write_file(spark, f0, src, base, stamped)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def start():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            stream_sft_examples(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")  # fault-tolerant sink: supports restart
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # crash point: turn 1 not yet arrived, turns 0+2 in state
+    assert spark.read.parquet(sink).count() == 0
+
+    _write_file(spark, f1, src, base + 10, stamped)
+    q = start()  # restart from the same checkpoint
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r.conv_id, r.turn_idx): (r.context, r.response)
+           for r in spark.read.parquet(sink).collect()}
+    want = {(r.conv_id, r.turn_idx): (r.context, r.response)
+            for r in sft_examples(
+                spark.createDataFrame(f0 + f1, SCHEMA)).collect()}
+    # post-restart emissions cover exactly the examples (state restored:
+    # turn 3's context includes the pre-crash buffered turns 0 and 2)
+    assert got == want
+    assert got[(0, 3)][0] == (
+        "user: hi there\nassistant: hello hello hello\nuser: more please"
+    )
