@@ -1659,6 +1659,18 @@ def q_chunk_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_conversations_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget dialogue chunking (60-token chunks, turn-atomic greedy
+    fill): the fold runs as a map-side F.aggregate HOF over the
+    conversation-bounded turn array, and the per-chunk re-aggregation rides
+    the collect's hash(conv_id) partitioning — ONE exchange total. The
+    oracle replays the greedy fold as a recursive CTE stepping one turn per
+    conversation per iteration."""
+    from kg_obo_spark.operators.conversations import chunk_conversations_budget
+
+    return chunk_conversations_budget(_transcripts(spark, sf_dir), max_tokens=60)
+
+
 def q_dedup_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level exact dedup: md5 fingerprint of the turn-ordered
     normalized transcript + keep-first min-conv window. Two inherent
@@ -1826,6 +1838,7 @@ _ROTATED_OUT = (
     "top_terms_tfidf",  # parked for kg_comention_weights (r6-green)
     "duplicate_spans",  # parked for pack_sft_examples_atomic (r6-green)
     "corpus_clean",  # parked for chunk_conversations (r6-green)
+    "text_pii_scrub",  # parked for chunk_conversations_budget (r6-green)
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -1915,6 +1928,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_conversations": q_dedup_conversations,
         "conversation_splits": q_conversation_splits,
         "chunk_conversations": q_chunk_conversations,
+        "chunk_conversations_budget": q_chunk_conversations_budget,
         "preference_pairs": q_preference_pairs,
         "gram_familiarity": q_gram_familiarity,
         "conversation_entities": q_conversation_entities,
@@ -3982,6 +3996,44 @@ def all_oracle_sql() -> dict[str, str]:
                    x -> x.line),
                  chr(10)) AS chunk_text
         FROM d
+        """,
+        # Token-budget dialogue chunking: the greedy turn-atomic fold
+        # replayed as a recursive CTE (one turn per conversation per step)
+        "chunk_conversations_budget": r"""
+        WITH RECURSIVE tr AS (
+          SELECT doc_id // 4 AS conv_id,
+                 CAST(doc_id % 4 AS INTEGER) AS turn_idx,
+                 CASE WHEN doc_id % 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 text
+          FROM documents
+        ),
+        r AS (
+          SELECT conv_id, turn_idx,
+                 role || ': ' || text AS line,
+                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                      tk -> len(tk) > 0)) AS BIGINT) AS nt,
+                 row_number() OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS rn
+          FROM tr
+        ),
+        p(conv_id, rn, chunk, cur) AS (
+          SELECT conv_id, rn, CAST(0 AS BIGINT), nt FROM r WHERE rn = 1
+          UNION ALL
+          SELECT r.conv_id, r.rn,
+                 CASE WHEN p.cur > 0 AND p.cur + r.nt > 60
+                      THEN p.chunk + 1 ELSE p.chunk END,
+                 CASE WHEN p.cur > 0 AND p.cur + r.nt > 60
+                      THEN r.nt ELSE p.cur + r.nt END
+          FROM p JOIN r ON r.conv_id = p.conv_id AND r.rn = p.rn + 1
+        )
+        SELECT r.conv_id, p.chunk AS chunk_id,
+               min(r.turn_idx) AS first_turn_idx,
+               count(*) AS n_turns,
+               CAST(sum(r.nt) AS BIGINT) AS n_tokens,
+               string_agg(r.line, chr(10) ORDER BY r.turn_idx) AS chunk_text
+        FROM p JOIN r ON r.conv_id = p.conv_id AND r.rn = p.rn
+        GROUP BY r.conv_id, p.chunk
         """,
         "dedup_conversations": r"""
         WITH tr AS (

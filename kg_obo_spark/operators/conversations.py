@@ -38,6 +38,7 @@ __all__ = [
     "tool_bigrams",
     "assign_conversation_splits",
     "chunk_conversations",
+    "chunk_conversations_budget",
     "dedup_conversations",
     "preference_pairs",
 ]
@@ -404,6 +405,89 @@ def chunk_conversations(
             F.transform(
                 F.slice("_arr", start.cast("int") + 1, take.cast("int")),
                 lambda x: x["line"],
+            ),
+            sep,
+        ).alias("chunk_text"),
+    )
+
+
+def chunk_conversations_budget(
+    tr: DataFrame, max_tokens: int, sep: str = "\n"
+) -> DataFrame:
+    """Token-budget dialogue chunking: split each conversation into chunks
+    of consecutive rendered turns whose combined whitespace-token count
+    stays within ``max_tokens`` — turn-atomic greedy fill (a turn never
+    splits; a single turn longer than the budget gets its own chunk). The
+    chunk-size bound embedding models need, where
+    :func:`chunk_conversations` bounds only the turn COUNT.
+
+    Returns (conv_id, chunk_id, first_turn_idx, n_turns, n_tokens,
+    chunk_text).
+
+    Dataflow: ONE hash(conv_id) exchange total. The greedy fill is a
+    sequential fold, but over a CONVERSATION-bounded array — so instead of
+    the per-shard applyInPandas that corpus-scale atomic packing needs
+    (operators/packing.py), it runs as a map-side ``F.aggregate`` HOF over
+    the collected turn structs, and the per-chunk re-aggregation rides the
+    collect's hash(conv_id) partitioning via the subset rule (grouping on
+    (conv_id, chunk_id) reuses hash(conv_id)). Plan-pinned in
+    tests/test_conversations.py.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    line = F.concat_ws(": ", F.col("role"), F.col("text"))
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    assembled = tr.groupBy("conv_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("turn_idx", line.alias("line"), n_tok.alias("nt"))
+            )
+        ).alias("_arr")
+    )
+    # greedy fill as a fold: acc = (current chunk id, tokens in it,
+    # per-turn chunk assignments)
+    init = F.struct(
+        F.lit(0).alias("chunk"),
+        F.lit(0).cast("long").alias("cur"),
+        F.array().cast("array<int>").alias("out"),
+    )
+
+    def step(acc, x):
+        overflow = (acc["cur"] > 0) & (acc["cur"] + x["nt"] > max_tokens)
+        new_chunk = F.when(overflow, acc["chunk"] + 1).otherwise(acc["chunk"])
+        new_cur = F.when(overflow, x["nt"]).otherwise(acc["cur"] + x["nt"])
+        return F.struct(
+            new_chunk.alias("chunk"),
+            new_cur.alias("cur"),
+            F.concat(acc["out"], F.array(new_chunk)).alias("out"),
+        )
+
+    d = assembled.select(
+        "conv_id",
+        "_arr",
+        F.aggregate(F.col("_arr"), init, step)["out"].alias("_asg"),
+    )
+    d = d.select(
+        "conv_id",
+        F.posexplode("_arr").alias("_pos", "_t"),
+        F.col("_asg"),
+    ).select(
+        "conv_id",
+        F.element_at("_asg", F.col("_pos") + 1).cast("long").alias("chunk_id"),
+        F.col("_t")["turn_idx"].alias("turn_idx"),
+        F.col("_t")["line"].alias("_line"),
+        F.col("_t")["nt"].alias("_nt"),
+    )
+    return d.groupBy("conv_id", "chunk_id").agg(
+        F.min("turn_idx").alias("first_turn_idx"),
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("_nt").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("turn_idx", F.col("_line")))
+                ),
+                lambda x: x["_line"],
             ),
             sep,
         ).alias("chunk_text"),

@@ -425,3 +425,48 @@ def test_chunk_conversations_coverage_and_plan(spark):
         chunk_conversations(tr, 0)
     with pytest.raises(ValueError, match="stride"):
         chunk_conversations(tr, 3, 4)
+
+
+def test_chunk_conversations_budget_greedy_fill(spark):
+    from kg_obo_spark.operators.conversations import chunk_conversations_budget
+
+    rows = [
+        # conv 0 turn tokens: 3, 4, 2, 5 with budget 7:
+        # chunk 0 = [t0 (3), t2-skip? no: order is turn order]
+        # greedy: t0(3) -> t1(3+4=7 ok) -> t2(7+2>7: new) -> t3(2+5=7 ok)
+        (0, 0, "user", "a b c"),
+        (0, 1, "assistant", "d e f g"),
+        (0, 2, "user", "h i"),
+        (0, 3, "assistant", "j k l m n"),
+        # conv 1: one turn LONGER than the budget -> its own chunk
+        (1, 0, "user", " ".join(f"w{i}" for i in range(9))),
+        (1, 1, "assistant", "x y"),
+    ]
+    tr = spark.createDataFrame(
+        [(c, t, r, None, 0, x) for c, t, r, x in rows],
+        "conv_id long, turn_idx int, role string, tool string, "
+        "ts_s long, text string",
+    )
+    out = {(r.conv_id, r.chunk_id): r
+           for r in chunk_conversations_budget(tr, 7).collect()}
+    assert set(out) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    c00 = out[(0, 0)]
+    assert (c00.first_turn_idx, c00.n_turns, c00.n_tokens) == (0, 2, 7)
+    assert c00.chunk_text == "user: a b c\nassistant: d e f g"
+    c01 = out[(0, 1)]
+    assert (c01.first_turn_idx, c01.n_turns, c01.n_tokens) == (2, 2, 7)
+    # oversized turn alone in chunk 0; next turn starts chunk 1
+    assert (out[(1, 0)].n_turns, out[(1, 0)].n_tokens) == (1, 9)
+    assert (out[(1, 1)].n_turns, out[(1, 1)].n_tokens) == (1, 2)
+
+    # every chunk except oversized singletons respects the budget
+    for r in out.values():
+        assert r.n_tokens <= 7 or r.n_turns == 1
+
+    # ONE exchange: the re-aggregation rides hash(conv_id) (subset rule)
+    plan = _plan(chunk_conversations_budget(tr, 7))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(conv_id" in plan
+
+    with pytest.raises(ValueError, match="max_tokens"):
+        chunk_conversations_budget(tr, 0)

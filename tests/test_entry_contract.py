@@ -84,6 +84,7 @@ def test_every_query_has_callable_and_runs_registered():
         "conversation_splits", "sft_examples_budget_bpe",
         "pack_sft_examples", "kg_comention_weights",
         "pack_sft_examples_atomic", "chunk_conversations",
+        "chunk_conversations_budget",
     }
     assert must_check <= set(qs)
     # rotated-out entries still exist and (when oracled) stay parity-checked
