@@ -242,6 +242,75 @@ def edges_from_per_turn_ranks(
     return co.unionByName(isa_from_mentioned(mentioned, onto))
 
 
+# Edge-stage crossover for the vocab-int pair shuffle, in TURN rows
+# (BENCH/VOCAB_INT_AB.md: string CURIEs win at 200k convs, int ranks win at
+# 600k+; the bench corpus runs ~9 turns/conversation, so the conservative
+# switch point ~500k convs is ~4.5M turns). Below this the distinct pair
+# OUTPUT (bounded by dictionary density, not corpus size) dominates pair
+# volume and the element_at unmap costs more than the skinny shuffle saves.
+VOCAB_INT_CROSSOVER_TURNS = 4_500_000
+
+
+def estimated_turn_count(transcripts: DataFrame, avg_row_bytes: int = 200) -> int:
+    """Scan-free row estimate from Catalyst plan statistics.
+
+    Uses the optimized plan's row count when the source provides one, else
+    sizeInBytes / avg_row_bytes (for a parquet scan sizeInBytes is the
+    on-disk compressed size, so avg_row_bytes is COMPRESSED bytes per turn —
+    the 200-byte default overestimates typical transcript rows, biasing the
+    estimate LOW, i.e. toward the string path, which is the safe direction:
+    the int-rank path only wins clearly above the crossover)."""
+    stats = transcripts._jdf.queryExecution().optimizedPlan().stats()
+    rc = stats.rowCount()
+    if rc.isDefined():
+        return int(str(rc.get()))
+    return int(str(stats.sizeInBytes())) // max(1, avg_row_bytes)
+
+
+def edges_from_transcripts(
+    transcripts: DataFrame,
+    onto: Ontology,
+    canon: dict[str, str] | None = None,
+    *,
+    n_turns: int | None = None,
+    crossover_turns: int = VOCAB_INT_CROSSOVER_TURNS,
+    degradation_level: int = 0,
+) -> DataFrame:
+    """Auto-switching KGX edge materialization (ROADMAP #10).
+
+    Picks the pair-shuffle representation from the corpus size instead of a
+    caller flag: below ``crossover_turns`` the string-CURIE path
+    (:func:`edges_from_per_turn`) wins because the distinct edge output is a
+    large fraction of pair volume; above it the vocab-int path
+    (:func:`edges_from_per_turn_ranks` — int32 pair shuffle + element_at
+    literal unmap) wins 1.7x on the edge stage (measured at 2M convs,
+    BENCH/VOCAB_INT_AB.md). Both paths produce the identical distinct triple
+    set (tests/test_materialize_ranks.py).
+
+    ``n_turns``: pass the known turn count when the caller has it (e.g. from
+    a TableIO snapshot's footer row counts — metadata-only); when None it is
+    estimated scan-free from plan statistics (:func:`estimated_turn_count`),
+    so the dispatch itself never adds a job at 100 TB."""
+    from kg_obo_spark.dictionary import get_matcher
+    from kg_obo_spark.operators.extract import (
+        extract_turn_ranks,
+        extract_turn_terms,
+    )
+
+    if n_turns is None:
+        n_turns = estimated_turn_count(transcripts)
+    if n_turns >= crossover_turns:
+        cu = get_matcher(onto, degradation_level).canon_rank_table(canon or {})[1]
+        pt = extract_turn_ranks(
+            transcripts, onto, canon, degradation_level=degradation_level
+        )
+        return edges_from_per_turn_ranks(pt, cu, onto)
+    pt = extract_turn_terms(
+        transcripts, onto, canon, degradation_level=degradation_level
+    )
+    return edges_from_per_turn(pt, onto)
+
+
 def build_isa_edges(mentions: DataFrame, onto: Ontology) -> DataFrame:
     """is_a edges of the ontology restricted to terms mentioned anywhere."""
     mentioned = mentions.select(F.col("term_id").alias("id")).distinct()

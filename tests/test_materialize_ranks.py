@@ -9,8 +9,11 @@ from kg_obo_spark.dictionary import get_matcher
 from kg_obo_spark.operators.canonicalize import canonical_map
 from kg_obo_spark.operators.extract import extract_turn_ranks, extract_turn_terms
 from kg_obo_spark.operators.materialize import (
+    VOCAB_INT_CROSSOVER_TURNS,
     edges_from_per_turn,
     edges_from_per_turn_ranks,
+    edges_from_transcripts,
+    estimated_turn_count,
 )
 
 
@@ -41,6 +44,34 @@ def test_rank_edges_equal_string_edges(spark):
     }
     assert got == want
     assert len(got) > 50  # the corpus actually produced edges
+
+
+def test_edges_from_transcripts_autoswitch(spark):
+    """ROADMAP #10: the auto-switch picks string CURIEs below the crossover
+    and int ranks above it — visible as the element_at literal unmap in the
+    plan — and both dispatches return the identical edge set."""
+    onto = build_ontology()
+    tr = generate_transcripts(spark, n_convs=60, seed=5, ontology=onto).cache()
+
+    lo = edges_from_transcripts(tr, onto, n_turns=1000)
+    hi = edges_from_transcripts(tr, onto, n_turns=10_000_000)
+    lo_plan = lo._jdf.queryExecution().optimizedPlan().toString()
+    hi_plan = hi._jdf.queryExecution().optimizedPlan().toString()
+    assert "element_at" not in lo_plan
+    assert "element_at" in hi_plan
+    assert {tuple(r) for r in lo.collect()} == {tuple(r) for r in hi.collect()}
+
+    # scan-free estimation dispatches without running a job; a 60-conv
+    # in-memory frame sits far below the 4.5M-turn crossover
+    est = edges_from_transcripts(tr, onto)
+    assert "element_at" not in est._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_estimated_turn_count_orders_of_magnitude(spark):
+    """Plan-stats estimate is scan-free and lands within the right regime."""
+    tr = generate_transcripts(spark, n_convs=50, seed=1)
+    est = estimated_turn_count(tr)
+    assert 0 <= est < VOCAB_INT_CROSSOVER_TURNS
 
 
 def test_rank_frame_matches_term_frame(spark):
