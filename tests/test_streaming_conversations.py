@@ -218,3 +218,124 @@ def test_stream_sft_checkpoint_restart_exactly_once(spark, tmp_path):
     assert got[(0, 3)][0] == (
         "user: hi there\nassistant: hello hello hello\nuser: more please"
     )
+
+
+def test_stream_sft_bounded_gap_flush_and_corrections(spark, tmp_path):
+    """ROADMAP #8: after gap_wait_batches stalled deliveries, blocked
+    examples flush as gap-marked partial rows; when the gap fills they
+    finalize as corrections equal to the batch examples; the last emission
+    per (conv, turn) converges to batch."""
+    from kg_obo_spark.operators.conversations import sft_examples
+    from kg_obo_spark.streaming.conversations import stream_sft_examples_bounded
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = time.time() - 1000
+    stamped: set[str] = set()
+    # conv 0: turn 1 missing until the 3rd delivery
+    f0 = [
+        (0, 0, "user", None, 100, "hi there"),
+        (0, 2, "assistant", None, 220, "answer two"),
+    ]
+    f1 = [(0, 4, "assistant", None, 340, "answer four")]
+    f2 = [
+        (0, 1, "assistant", None, 160, "answer one"),
+        (0, 3, "user", None, 280, "more"),
+    ]
+    _write_file(spark, f0, src, base, stamped)
+    _write_file(spark, f1, src, base + 10, stamped)
+    _write_file(spark, f2, src, base + 20, stamped)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_sft_examples_bounded(stream, gap_wait_batches=2)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssftb")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sftb"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM ssftb").collect()
+
+    partials = {r.turn_idx: r for r in got if r.is_partial}
+    # stall counter hit 2 on the second delivery: turns 2 and 4 flushed
+    assert set(partials) == {2, 4}
+    assert partials[2].context == "user: hi there\n[turn 1 missing]"
+    assert partials[2].n_context_turns == 1
+    assert partials[4].context == (
+        "user: hi there\n[turn 1 missing]\nassistant: answer two"
+        "\n[turn 3 missing]"
+    )
+    assert partials[4].n_context_turns == 2
+
+    finals = {r.turn_idx: r for r in got if not r.is_partial}
+    # exactly one final row per assistant turn; 2 and 4 are corrections
+    assert len([r for r in got if not r.is_partial]) == 3
+    assert {i: r.is_correction for i, r in finals.items()} == {
+        1: False, 2: True, 4: True
+    }
+    want = {
+        r.turn_idx: (r.context, r.response, r.n_context_turns)
+        for r in sft_examples(
+            spark.createDataFrame(f0 + f1 + f2, SCHEMA)).collect()
+    }
+    assert {
+        i: (r.context, r.response, r.n_context_turns)
+        for i, r in finals.items()
+    } == want
+
+
+def test_stream_sft_bounded_never_filled_gap_stays_partial(spark, tmp_path):
+    """A gap that never fills leaves exactly the partial rows (no finals
+    past the gap), and a partial turn re-flushes only when MORE of its
+    context arrived since the last flush."""
+    from kg_obo_spark.streaming.conversations import stream_sft_examples_bounded
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = time.time() - 1000
+    stamped: set[str] = set()
+    f0 = [
+        (0, 0, "user", None, 100, "hi"),
+        (0, 3, "assistant", None, 280, "late answer"),
+    ]
+    f1 = [(0, 4, "user", None, 340, "noise")]      # stall 2 -> flush turn 3
+    f2 = [(0, 5, "assistant", None, 400, "five")]  # stall 1
+    f3 = [(0, 2, "user", None, 220, "ctx grows")]  # stall 2 -> reflush 3, flush 5
+    f4 = [(0, 6, "user", None, 460, "noise2")]     # stall 1
+    f5 = [(0, 7, "user", None, 520, "noise3")]     # stall 2 -> NO reflush (no new ctx)
+    for i, f in enumerate([f0, f1, f2, f3, f4, f5]):
+        _write_file(spark, f, src, base + 10 * i, stamped)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_sft_examples_bounded(stream, gap_wait_batches=2)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssftb2")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sftb2"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM ssftb2").collect()
+    assert all(r.is_partial for r in got)  # turn 1 never arrives: no finals
+    by_turn = {}
+    for r in got:
+        by_turn.setdefault(r.turn_idx, []).append(r)
+    # turn 3 flushed at stall#1 (ctx=1 present), reflushed after turn 2
+    # arrived (ctx=2), NOT reflushed at the third stall (no new context)
+    assert [r.n_context_turns for r in sorted(
+        by_turn[3], key=lambda r: r.n_context_turns)] == [1, 2]
+    assert [r.n_context_turns for r in by_turn[5]] == [4]
+    assert by_turn[3][-1].context.count("missing") == 1
