@@ -1671,6 +1671,37 @@ def q_chunk_conversations_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_conversations_budget(_transcripts(spark, sf_dir), max_tokens=60)
 
 
+def q_chunk_conversations_budget_bpe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-budget dialogue chunking measured in SUBWORD units (100-piece
+    chunks): the GreedyWordpiece tokenizer seam composed with the
+    turn-atomic greedy fill — chunk budgets in the units an embedding
+    model's context window actually measures (~1.8x whitespace counts on
+    this corpus). The subword count stage is map-side (mapInPandas), so the
+    op keeps ONE hash(conv_id) exchange; the oracle recomputes max-munch
+    segmentation with the shared-vocab recursive CTE feeding the greedy
+    recursive chunk chain."""
+    from kg_obo_spark.functions.tokenizer import GreedyWordpiece
+    from kg_obo_spark.operators.conversations import chunk_conversations_budget
+
+    return chunk_conversations_budget(
+        _transcripts(spark, sf_dir), max_tokens=100, tokenizer=GreedyWordpiece()
+    )
+
+
+def q_conversation_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic conversation-level near-dup (SemDeDup-style): mean-pool each
+    conversation's turn embeddings (turn-id-sorted LEFT-FOLD sum — pinned
+    association order, so the oracle's left-associated per-slot sum is
+    bit-exact), then exact cosine pairs >= 0.35 as floor-e6 fixed point.
+    Pooling = one conv-keyed exchange; the pair stage is the exact baseline
+    (the LSH blocking path takes the pooled frame unchanged at scale)."""
+    from kg_obo_spark.operators.conversations import conversation_near_dup
+
+    return conversation_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
 def q_dedup_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level exact dedup: md5 fingerprint of the turn-ordered
     normalized transcript + keep-first min-conv window. Two inherent
@@ -1839,6 +1870,13 @@ _ROTATED_OUT = (
     "duplicate_spans",  # parked for pack_sft_examples_atomic (r6-green)
     "corpus_clean",  # parked for chunk_conversations (r6-green)
     "text_pii_scrub",  # parked for chunk_conversations_budget (r6-green)
+    # parked late-r7 for the subword dialogue-chunk budget and the semantic
+    # conversation near-dup rows — both names are green rows+schema+hash in
+    # CORRECTNESS_r06 (pipeline_transcripts was r6's headline graduation)
+    # and stay continuously verified by the local parity harness; they
+    # return in r8 per the alternating schedule
+    "kg_mentions",  # parked for chunk_conversations_budget_bpe (r6-green)
+    "pipeline_transcripts",  # parked for conversation_near_dup (r6-green)
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -1929,6 +1967,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_splits": q_conversation_splits,
         "chunk_conversations": q_chunk_conversations,
         "chunk_conversations_budget": q_chunk_conversations_budget,
+        "chunk_conversations_budget_bpe": q_chunk_conversations_budget_bpe,
+        "conversation_near_dup": q_conversation_near_dup,
         "preference_pairs": q_preference_pairs,
         "gram_familiarity": q_gram_familiarity,
         "conversation_entities": q_conversation_entities,
@@ -2208,6 +2248,111 @@ def _wordpiece_chunk_sql() -> str:
                             chunk_id * 8 + least(16, n_tok - chunk_id * 8)),
                  ' ') AS chunk_text
         FROM b
+        """
+
+
+def _wordpiece_chunk_conv_budget_sql() -> str:
+    """DuckDB mirror of q_chunk_conversations_budget_bpe: the shared-vocab
+    max-munch recursive CTE gives per-distinct-word piece counts, per-turn
+    subword totals come from a word join (LEFT JOIN + coalesce covers
+    token-free turns), and the chunk_conversations_budget greedy recursive
+    chain runs over those counts with budget 100."""
+    from kg_obo_spark.functions.tokenizer import DEFAULT_WORDPIECE_VOCAB
+
+    vals = ", ".join(f"('{p}')" for p in DEFAULT_WORDPIECE_VOCAB)
+    return f"""
+        WITH RECURSIVE v(piece) AS (VALUES {vals}),
+        tr AS (
+          SELECT doc_id // 4 AS conv_id,
+                 CAST(doc_id % 4 AS INTEGER) AS turn_idx,
+                 CASE WHEN doc_id % 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 text
+          FROM documents
+        ),
+        w AS (
+          SELECT conv_id, turn_idx,
+                 unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    tk -> len(tk) > 0)) AS word
+          FROM tr
+        ),
+        dw AS (SELECT DISTINCT word FROM w),
+        seg(word, pos, n) AS (
+          SELECT word, 0, 0 FROM dw
+          UNION ALL
+          SELECT word,
+                 pos + coalesce((SELECT max(len(piece)) FROM v
+                                 WHERE piece = substr(word, pos + 1,
+                                                      len(piece))), 1),
+                 n + 1
+          FROM seg WHERE pos < len(word)
+        ),
+        wp AS (SELECT word, max(n) AS n_pieces FROM seg GROUP BY word),
+        tn AS (
+          SELECT w.conv_id, w.turn_idx,
+                 CAST(sum(wp.n_pieces) AS BIGINT) AS nt
+          FROM w JOIN wp USING (word) GROUP BY w.conv_id, w.turn_idx
+        ),
+        r AS (
+          SELECT tr.conv_id, tr.turn_idx,
+                 tr.role || ': ' || tr.text AS line,
+                 coalesce(tn.nt, 0) AS nt,
+                 row_number() OVER (PARTITION BY tr.conv_id
+                                    ORDER BY tr.turn_idx) AS rn
+          FROM tr LEFT JOIN tn
+            ON tr.conv_id = tn.conv_id AND tr.turn_idx = tn.turn_idx
+        ),
+        p(conv_id, rn, chunk, cur) AS (
+          SELECT conv_id, rn, CAST(0 AS BIGINT), nt FROM r WHERE rn = 1
+          UNION ALL
+          SELECT r.conv_id, r.rn,
+                 CASE WHEN p.cur > 0 AND p.cur + r.nt > 100
+                      THEN p.chunk + 1 ELSE p.chunk END,
+                 CASE WHEN p.cur > 0 AND p.cur + r.nt > 100
+                      THEN r.nt ELSE p.cur + r.nt END
+          FROM p JOIN r ON r.conv_id = p.conv_id AND r.rn = p.rn + 1
+        )
+        SELECT r.conv_id, p.chunk AS chunk_id,
+               min(r.turn_idx) AS first_turn_idx,
+               count(*) AS n_turns,
+               CAST(sum(r.nt) AS BIGINT) AS n_tokens,
+               string_agg(r.line, chr(10) ORDER BY r.turn_idx) AS chunk_text
+        FROM p JOIN r ON r.conv_id = p.conv_id AND r.rn = p.rn
+        GROUP BY r.conv_id, p.chunk
+        """
+
+
+def _conversation_near_dup_sql() -> str:
+    """DuckDB mirror of q_conversation_near_dup: per-slot pooled sum in the
+    SAME left-associated turn order as the Spark fold (IEEE addition is not
+    associative — an unordered avg() would not value-match), cosine spelled
+    out (_cos_sql rationale), floor-e6 fixed-point output."""
+    pooled = (
+        "(CAST(e0[i] AS DOUBLE) + CAST(e1[i] AS DOUBLE)"
+        " + CAST(e2[i] AS DOUBLE) + CAST(e3[i] AS DOUBLE)) / 4"
+    )
+    return f"""
+        WITH ce AS (
+          SELECT vec_id // 4 AS conv_id,
+                 max(embedding) FILTER (WHERE vec_id % 4 = 0) AS e0,
+                 max(embedding) FILTER (WHERE vec_id % 4 = 1) AS e1,
+                 max(embedding) FILTER (WHERE vec_id % 4 = 2) AS e2,
+                 max(embedding) FILTER (WHERE vec_id % 4 = 3) AS e3
+          FROM embeddings GROUP BY vec_id // 4 HAVING count(*) = 4
+        ),
+        p AS (
+          SELECT conv_id,
+                 list_transform(generate_series(1, len(e0)),
+                                i -> {pooled}) AS cemb
+          FROM ce
+        ),
+        s AS (
+          SELECT p1.conv_id AS a, p2.conv_id AS b,
+                 CAST(floor(1000000.0 *
+                      ({_cos_sql('p1.cemb', 'p2.cemb')})) AS BIGINT) AS sim_e6
+          FROM p p1 JOIN p p2 ON p1.conv_id < p2.conv_id
+        )
+        SELECT a, b, sim_e6 FROM s WHERE sim_e6 >= 350000
         """
 
 
@@ -3997,6 +4142,10 @@ def all_oracle_sql() -> dict[str, str]:
                  chr(10)) AS chunk_text
         FROM d
         """,
+        # Subword-unit dialogue chunk budgets (tokenizer seam) + semantic
+        # conversation near-dup over mean-pooled turn embeddings
+        "chunk_conversations_budget_bpe": _wordpiece_chunk_conv_budget_sql(),
+        "conversation_near_dup": _conversation_near_dup_sql(),
         # Token-budget dialogue chunking: the greedy turn-atomic fold
         # replayed as a recursive CTE (one turn per conversation per step)
         "chunk_conversations_budget": r"""

@@ -41,6 +41,8 @@ __all__ = [
     "chunk_conversations_budget",
     "dedup_conversations",
     "preference_pairs",
+    "conversation_embeddings",
+    "conversation_near_dup",
 ]
 
 # Epoch base for the deterministic synthetic timestamp column (seconds).
@@ -412,7 +414,7 @@ def chunk_conversations(
 
 
 def chunk_conversations_budget(
-    tr: DataFrame, max_tokens: int, sep: str = "\n"
+    tr: DataFrame, max_tokens: int, sep: str = "\n", tokenizer=None
 ) -> DataFrame:
     """Token-budget dialogue chunking: split each conversation into chunks
     of consecutive rendered turns whose combined whitespace-token count
@@ -423,6 +425,11 @@ def chunk_conversations_budget(
 
     Returns (conv_id, chunk_id, first_turn_idx, n_turns, n_tokens,
     chunk_text).
+
+    ``tokenizer`` (the packing/chunking seam, e.g.
+    :class:`~kg_obo_spark.functions.tokenizer.GreedyWordpiece`) switches the
+    budget to SUBWORD token counts via the same map-side count stage as
+    :func:`sft_examples_budget`; None keeps the whitespace model.
 
     Dataflow: ONE hash(conv_id) exchange total. The greedy fill is a
     sequential fold, but over a CONVERSATION-bounded array — so instead of
@@ -436,7 +443,13 @@ def chunk_conversations_budget(
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
     line = F.concat_ws(": ", F.col("role"), F.col("text"))
-    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    if tokenizer is not None:
+        # subword-unit budgets via the tokenizer seam (same map-side count
+        # stage as sft_examples_budget — the ONE-exchange plan is unchanged)
+        tr = _append_subword_counts(tr, tokenizer)
+        n_tok = F.col("_nt0")
+    else:
+        n_tok = F.size(tokens(F.col("text"))).cast("long")
     assembled = tr.groupBy("conv_id").agg(
         F.array_sort(
             F.collect_list(
@@ -592,4 +605,89 @@ def preference_pairs(tr: DataFrame) -> DataFrame:
         "chosen_score",
         "rejected_score",
         (F.col("chosen_score") - F.col("rejected_score")).alias("score_gap"),
+    )
+
+
+def conversation_embeddings(
+    embeddings: DataFrame,
+    turns_per_conv: int = TURNS_PER_CONV,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(conv_id, n_turns, cemb array<double>): mean-pooled conversation
+    embedding from its per-turn embeddings (conv_id = id // turns_per_conv,
+    matching the transcripts_from_documents reshape; production keys the
+    embedding table by (conv_id, turn_idx) directly).
+
+    Pooling is the standard semantic-dedup representation (SemDeDup-style):
+    one vector per conversation, so downstream near-dup / clustering runs on
+    conversation count, not turn count. The element-wise sum LEFT-FOLDS over
+    the turn-id-sorted array — a pinned association order, so an external
+    oracle summing in the same order is bit-exact (IEEE addition is not
+    associative; an unordered SQL avg() would not value-match).
+
+    One hash(conv_id) exchange; arrays are conversation-bounded.
+    """
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v")))
+    )
+    # integral div (never float division — exact for the full int64 range)
+    g = embeddings.groupBy(
+        F.expr(f"{id_col} div {int(turns_per_conv)}").alias("conv_id")
+    ).agg(arr.alias("_arr"))
+    first = F.transform(F.element_at("_arr", 1)["v"], lambda x: x.cast("double"))
+    rest = F.slice(F.col("_arr"), 2, F.size("_arr") - 1)
+    summed = F.aggregate(
+        rest,
+        first,
+        lambda acc, x: F.zip_with(acc, x["v"], lambda a, b: a + b.cast("double")),
+    )
+    return g.select(
+        "conv_id",
+        F.size("_arr").cast("long").alias("n_turns"),
+        F.transform(summed, lambda s: s / F.size("_arr")).alias("cemb"),
+    )
+
+
+def conversation_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    turns_per_conv: int = TURNS_PER_CONV,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic conversation-level near-duplicate pairs: (a, b, sim_e6) for
+    conversation pairs whose mean-pooled embeddings reach ``threshold``
+    cosine — embedding-space dedup at CONVERSATION granularity, catching
+    paraphrased/re-rolled dialogues that exact transcript fingerprints
+    (:func:`dedup_conversations`) and lexical MinHash both miss.
+
+    Only complete conversations (exactly ``turns_per_conv`` turn vectors)
+    participate — partial tails have incomparable pooled vectors. sim_e6 is
+    the floor-e6 fixed point of the unclamped cosine (floor of an identical
+    double is identical across engines; spelled-out dot/(|a||b|), the
+    oracle-parity form). The comparison itself is integer.
+
+    Scale shape: pooling is one conv-keyed exchange (above); the pair stage
+    here is the EXACT O(n^2) baseline over pooled vectors — fine to a few
+    hundred thousand conversations. Past that, feed the pooled frame to
+    :func:`~kg_obo_spark.operators.similarity.embedding_near_dup_lsh`
+    (id_col="conv_id", vec_col="cemb") — blocking, caps, and verify apply
+    unchanged to pooled vectors.
+    """
+    from kg_obo_spark.operators.similarity import cosine
+
+    pooled = conversation_embeddings(
+        embeddings, turns_per_conv, id_col, vec_col
+    ).filter(F.col("n_turns") == turns_per_conv)
+    a = pooled.select(F.col("conv_id").alias("a"), F.col("cemb").alias("va"))
+    b = pooled.select(F.col("conv_id").alias("b"), F.col("cemb").alias("vb"))
+    sim_e6 = F.floor(
+        F.lit(1_000_000.0) * cosine(F.col("va"), F.col("vb"))
+    ).cast("long")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", sim_e6.alias("sim_e6"))
+        .filter(F.col("sim_e6") >= int(threshold * 1_000_000))
     )

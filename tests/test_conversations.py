@@ -470,3 +470,119 @@ def test_chunk_conversations_budget_greedy_fill(spark):
 
     with pytest.raises(ValueError, match="max_tokens"):
         chunk_conversations_budget(tr, 0)
+
+
+def test_chunk_conversations_budget_bpe_subword_units(spark):
+    """The tokenizer seam switches the chunk budget to subword units: chunk
+    token totals equal the wordpiece piece counts (not whitespace counts),
+    the greedy fill splits where the SUBWORD budget overflows, and the plan
+    keeps the single hash(conv_id) exchange."""
+    from kg_obo_spark.functions.text import py_tokens
+    from kg_obo_spark.functions.tokenizer import GreedyWordpiece
+    from kg_obo_spark.operators.conversations import chunk_conversations_budget
+
+    tok = GreedyWordpiece()
+    tr = _tr(spark)
+    rows = {(r.conv_id, r.turn_idx): r.text for r in tr.collect()}
+    nt = {
+        k: sum(len(tok.encode_word(w)) for w in py_tokens(t))
+        for k, t in rows.items()
+    }
+    budget = max(nt.values()) + 1  # every turn fits; splits are real
+
+    out = chunk_conversations_budget(tr, budget, tokenizer=tok).collect()
+    # per-chunk totals are SUBWORD counts and respect the budget
+    for r in out:
+        assert r.n_tokens <= budget or r.n_turns == 1
+    got_totals = {}
+    for r in out:
+        got_totals[r.conv_id] = got_totals.get(r.conv_id, 0) + r.n_tokens
+    want_totals = {}
+    for (c, _t), n in nt.items():
+        want_totals[c] = want_totals.get(c, 0) + n
+    assert got_totals == want_totals
+
+    # replay the greedy fill in python over subword counts: chunk count
+    def greedy(counts):
+        chunks, cur = 1, 0
+        for n in counts:
+            if cur > 0 and cur + n > budget:
+                chunks, cur = chunks + 1, n
+            else:
+                cur += n
+        return chunks
+    for c in {k[0] for k in rows}:
+        counts = [nt[(c, t)] for t in sorted(t for cc, t in nt if cc == c)]
+        assert greedy(counts) == sum(1 for r in out if r.conv_id == c), c
+
+    plan = _plan(chunk_conversations_budget(tr, budget, tokenizer=tok))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(conv_id" in plan
+
+
+def test_conversation_embeddings_mean_pool(spark):
+    """Pooled vector equals the numpy mean over the conversation's turn
+    embeddings; incomplete tails keep their true n_turns."""
+    import numpy as np
+
+    from kg_obo_spark.operators.conversations import conversation_embeddings
+
+    rng = np.random.RandomState(7)
+    vecs = {i: rng.randn(6).astype("float32") for i in range(10)}  # conv 2 has 2
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.conv_id: r for r in conversation_embeddings(emb).collect()}
+    assert {c: r.n_turns for c, r in got.items()} == {0: 4, 1: 4, 2: 2}
+    for conv in range(3):
+        members = [vecs[i] for i in sorted(vecs) if i // 4 == conv]
+        want = np.sum([m.astype("float64") for m in members], axis=0) / len(members)
+        assert np.allclose(got[conv].cemb, want, atol=1e-12), conv
+
+
+def test_conversation_near_dup_matches_bruteforce(spark):
+    """Near-dup pairs equal a numpy brute force over pooled vectors; only
+    complete conversations participate."""
+    import numpy as np
+
+    from kg_obo_spark.operators.conversations import conversation_near_dup
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(6)
+    vecs = {}
+    for conv in range(4):
+        for t in range(4):
+            # convs 0 and 2 are near-identical (pooled cosine ~1)
+            jitter = 0.01 if conv in (0, 2) else 1.0
+            vecs[conv * 4 + t] = (
+                base + jitter * rng.randn(6)
+                if conv in (0, 2)
+                else rng.randn(6)
+            ).astype("float32")
+    vecs[16] = rng.randn(6).astype("float32")  # conv 4: incomplete (1 turn)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    thr = 0.5
+    got = {(r.a, r.b): r.sim_e6 for r in conversation_near_dup(emb, thr).collect()}
+
+    pooled = {
+        c: np.mean(
+            [vecs[c * 4 + t].astype("float64") for t in range(4)], axis=0
+        )
+        for c in range(4)
+    }
+    want = {}
+    for a in range(4):
+        for b in range(a + 1, 4):
+            cos = pooled[a] @ pooled[b] / (
+                np.linalg.norm(pooled[a]) * np.linalg.norm(pooled[b])
+            )
+            if int(np.floor(1e6 * cos)) >= int(thr * 1e6):
+                want[(a, b)] = int(np.floor(1e6 * cos))
+    assert set(got) == set(want) == {(0, 2)}
+    for k in got:
+        assert abs(got[k] - want[k]) <= 1  # fold-order ulp tolerance at e6
+    assert all(a != 4 and b != 4 for a, b in got)

@@ -85,6 +85,8 @@ def test_every_query_has_callable_and_runs_registered():
         "pack_sft_examples", "kg_comention_weights",
         "pack_sft_examples_atomic", "chunk_conversations",
         "chunk_conversations_budget",
+        # late-r7: subword dialogue-chunk budgets + semantic conv near-dup
+        "chunk_conversations_budget_bpe", "conversation_near_dup",
     }
     assert must_check <= set(qs)
     # rotated-out entries still exist and (when oracled) stay parity-checked
