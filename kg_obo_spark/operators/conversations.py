@@ -677,9 +677,15 @@ def conversation_near_dup(
     """
     from kg_obo_spark.operators.similarity import cosine
 
-    pooled = conversation_embeddings(
-        embeddings, turns_per_conv, id_col, vec_col
-    ).filter(F.col("n_turns") == turns_per_conv)
+    # materialize the pooled frame once: it fans into BOTH join sides, and
+    # without the checkpoint each side re-runs the pooling exchange — i.e.
+    # re-scans the (corpus-sized) embeddings table twice (the
+    # kg_comention_weights pattern, operators/materialize.py)
+    pooled = (
+        conversation_embeddings(embeddings, turns_per_conv, id_col, vec_col)
+        .filter(F.col("n_turns") == turns_per_conv)
+        .localCheckpoint()
+    )
     a = pooled.select(F.col("conv_id").alias("a"), F.col("cemb").alias("va"))
     b = pooled.select(F.col("conv_id").alias("b"), F.col("cemb").alias("vb"))
     sim_e6 = F.floor(
