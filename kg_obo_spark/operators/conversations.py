@@ -43,6 +43,7 @@ __all__ = [
     "preference_pairs",
     "conversation_embeddings",
     "conversation_near_dup",
+    "cluster_conversations",
 ]
 
 # Epoch base for the deterministic synthetic timestamp column (seconds).
@@ -696,4 +697,42 @@ def conversation_near_dup(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", sim_e6.alias("sim_e6"))
         .filter(F.col("sim_e6") >= int(threshold * 1_000_000))
+    )
+
+
+def cluster_conversations(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 3,
+    turns_per_conv: int = TURNS_PER_CONV,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(conv_id, cluster_id): topic-cluster conversations by deterministic
+    k-means over their mean-pooled turn embeddings — the grouping layer
+    cluster-based curation needs (SemDeDup-style dedup-within-cluster,
+    per-topic mixture weights, cluster-stratified eval splits). Compose with
+    :func:`~kg_obo_spark.operators.sampling.mixture_sample_rates` on the
+    cluster label for topic rebalancing.
+
+    Pure composition of existing pieces: :func:`conversation_embeddings`
+    (one conv-keyed exchange, checkpointed — it feeds every Lloyd
+    iteration) -> :func:`~kg_obo_spark.operators.similarity.
+    kmeans_centroids` (hash-spread deterministic seeds, broadcast map-only
+    assignment, one (clusters x dim)-row shuffle per iteration — corpus
+    never reshuffles) -> final map-only assignment. Fully deterministic:
+    same input -> same clustering at any parallelism.
+    """
+    from kg_obo_spark.operators.similarity import ivf_assign, kmeans_centroids
+
+    pooled = (
+        conversation_embeddings(embeddings, turns_per_conv, id_col, vec_col)
+        .filter(F.col("n_turns") == turns_per_conv)
+        .localCheckpoint()
+    )
+    cents = kmeans_centroids(
+        pooled, n_clusters, iters, id_col="conv_id", vec_col="cemb"
+    )
+    return ivf_assign(pooled, cents, "conv_id", "cemb").select(
+        "conv_id", F.col("centroid_id").alias("cluster_id")
     )

@@ -586,3 +586,70 @@ def test_conversation_near_dup_matches_bruteforce(spark):
     for k in got:
         assert abs(got[k] - want[k]) <= 1  # fold-order ulp tolerance at e6
     assert all(a != 4 and b != 4 for a, b in got)
+
+
+def test_cluster_conversations_matches_numpy_lloyd(spark):
+    """Cluster assignment equals a numpy Lloyd replay from the SAME seed
+    centroids (cosine argmax, empty clusters keep their previous mean,
+    means recomputed as per-dim averages) — and is partitioning-independent."""
+    import numpy as np
+
+    from kg_obo_spark.operators.conversations import (
+        cluster_conversations,
+        conversation_embeddings,
+    )
+    from kg_obo_spark.operators.similarity import deterministic_centroids
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(3, 5) * 3
+    vecs = {}
+    for conv in range(12):
+        for t in range(4):
+            vecs[conv * 4 + t] = (
+                centers[conv % 3] + 0.1 * rng.randn(5)
+            ).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.conv_id: r.cluster_id
+           for r in cluster_conversations(emb, n_clusters=3, iters=2).collect()}
+
+    # numpy replay from the identical seeds over the identical pooled frame
+    pooled_df = conversation_embeddings(emb).localCheckpoint()
+    pooled = {r.conv_id: np.array(r.cemb) for r in pooled_df.collect()}
+    seeds = {
+        r.centroid_id: np.array([float(x) for x in r.centroid_vec])
+        for r in deterministic_centroids(
+            pooled_df, 3, id_col="conv_id", vec_col="cemb"
+        ).collect()
+    }
+    cents = [seeds[i + 1] for i in range(3)]  # centroid_id is 1-based
+
+    def assign(cents):
+        out = {}
+        for c, v in pooled.items():
+            sims = [
+                v @ m / (np.linalg.norm(v) * np.linalg.norm(m)) for m in cents
+            ]
+            out[c] = int(np.argmax(sims)) + 1  # ties -> smallest id
+        return out
+
+    for _ in range(2):
+        a = assign(cents)
+        new = []
+        for k in range(3):
+            members = [pooled[c] for c, kk in a.items() if kk == k + 1]
+            new.append(
+                np.mean(members, axis=0).astype("float32").astype("float64")
+                if members else cents[k]
+            )
+        cents = new
+    want = assign(cents)
+    assert got == want
+    assert len(set(got.values())) == 3  # three real topic groups recovered
+
+    shuffled = cluster_conversations(
+        emb.repartition(7), n_clusters=3, iters=2
+    )
+    assert {r.conv_id: r.cluster_id for r in shuffled.collect()} == got
