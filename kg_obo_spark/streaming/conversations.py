@@ -29,6 +29,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from kg_obo_spark.functions.text import py_tokens
@@ -357,5 +358,90 @@ def stream_conversation_stats(
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=timeout_conf,
+        )
+    )
+
+
+EMB_OUTPUT_SCHEMA = "conv_id long, n_turns long, cemb array<double>"
+EMB_STATE_SCHEMA = (
+    "done boolean, vecs array<struct<i:long, v:array<float>>>"
+)
+
+
+def _make_emb_fn(turns_per_conv: int):
+    def _emb(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            done, vecs = state.get
+            buf = {t[0]: t[1] for t in vecs}
+        else:
+            done, buf = False, {}
+        for pdf in pdfs:
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                vid = int(vid)
+                if vid not in buf:  # first arrival per turn wins (replays)
+                    # plain python floats: numpy scalars don't survive the
+                    # state-row pickle into the JVM
+                    buf[vid] = [float(x) for x in vec]
+        if not done and len(buf) >= turns_per_conv:
+            # pool in vec_id order — the batch operator's pinned LEFT-FOLD
+            # association, so streamed doubles equal batch doubles bitwise
+            ordered = [buf[i] for i in sorted(buf)][:turns_per_conv]
+            acc = [float(x) for x in ordered[0]]
+            for vec in ordered[1:]:
+                acc = [a + float(b) for a, b in zip(acc, vec)]
+            n = len(ordered)
+            done = True
+            state.update((True, sorted(buf.items())))
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "n_turns": [n],
+                    "cemb": [[a / n for a in acc]],
+                }
+            )
+            return
+        state.update((done, sorted(buf.items())))
+
+    return _emb
+
+
+def stream_conversation_embeddings(
+    emb_stream: DataFrame,
+    turns_per_conv: int = 4,
+) -> DataFrame:
+    """Streaming mean-pooled conversation embeddings: emits each
+    conversation's pooled vector EXACTLY ONCE, as soon as all
+    ``turns_per_conv`` turn vectors have arrived — the continuous feed for
+    downstream semantic indexing (near-dup blocking, topic assignment).
+    Input columns: (vec_id, embedding) with conv = vec_id // turns_per_conv
+    (the batch operator's keying).
+
+    Out-of-order turn vectors are buffered in state (bounded by
+    turns_per_conv); duplicate deliveries are dropped first-arrival
+    (replay-tolerant). The pooled sum folds in vec_id order — the SAME
+    association order as the batch
+    :func:`~kg_obo_spark.operators.conversations.conversation_embeddings` —
+    so the streamed doubles equal the batch doubles BITWISE on any arrival
+    order (pinned by tests). Incomplete conversations never emit (the batch
+    near-dup/clustering consumers filter them too); topic labels stream by
+    stream-static joining the emitted pooled rows against fixed centroids
+    (:func:`~kg_obo_spark.operators.similarity.ivf_assign` works unchanged
+    on the streaming frame — broadcast nested-loop against one literal
+    centroid row, no stateful plan)."""
+    conv = F.expr(f"vec_id div {int(turns_per_conv)}").alias("conv_id")
+    return (
+        emb_stream.select(conv, "vec_id", "embedding")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _make_emb_fn(turns_per_conv),
+            outputStructType=EMB_OUTPUT_SCHEMA,
+            stateStructType=EMB_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

@@ -339,3 +339,113 @@ def test_stream_sft_bounded_never_filled_gap_stays_partial(spark, tmp_path):
         by_turn[3], key=lambda r: r.n_context_turns)] == [1, 2]
     assert [r.n_context_turns for r in by_turn[5]] == [4]
     assert by_turn[3][-1].context.count("missing") == 1
+
+
+def test_stream_conversation_embeddings_bitwise_equals_batch(spark, tmp_path):
+    """Pooled vectors stream exactly once per complete conversation and
+    equal the batch pooling BITWISE on out-of-order + duplicate delivery
+    (same vec_id-ordered fold); incomplete conversations never emit."""
+    import numpy as np
+
+    from kg_obo_spark.operators.conversations import conversation_embeddings
+    from kg_obo_spark.streaming.conversations import (
+        stream_conversation_embeddings,
+    )
+
+    rng = np.random.RandomState(5)
+    vecs = {i: [float(x) for x in rng.randn(6).astype("float32")]
+            for i in range(9)}  # convs 0,1 complete; conv 2 has one turn
+    eschema = "vec_id long, embedding array<float>"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = time.time() - 1000
+    stamped: set[str] = set()
+    f0 = [(3, vecs[3]), (1, vecs[1]), (6, vecs[6])]
+    f1 = [(0, vecs[0]), (2, vecs[2]), (1, vecs[1])]   # dup vec 1; conv 0 done
+    f2 = [(5, vecs[5]), (4, vecs[4]), (7, vecs[7]), (8, vecs[8])]
+    for i, f in enumerate([f0, f1, f2]):
+        spark.createDataFrame(f, eschema).coalesce(1).write.mode(
+            "append").parquet(src)
+        for name in os.listdir(src):
+            if name.endswith(".parquet") and name not in stamped:
+                os.utime(os.path.join(src, name), (base + 10 * i,) * 2)
+                stamped.add(name)
+
+    stream = (
+        spark.readStream.schema(eschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_conversation_embeddings(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sconvemb")
+        .option("checkpointLocation", str(tmp_path / "ckpt_emb"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM sconvemb").collect()
+    assert len(got) == 2  # exactly once, conv 2 incomplete
+    got_map = {r.conv_id: (r.n_turns, list(r.cemb)) for r in got}
+
+    batch = {
+        r.conv_id: (r.n_turns, list(r.cemb))
+        for r in conversation_embeddings(
+            spark.createDataFrame(
+                [(i, v) for i, v in vecs.items()], eschema)
+        ).collect()
+        if r.n_turns == 4
+    }
+    assert got_map == batch  # BITWISE double equality
+
+
+def test_stream_topic_labels_via_static_centroids(spark, tmp_path):
+    """ivf_assign works unchanged on the streaming pooled frame (broadcast
+    nested-loop against one literal centroid row — no stateful plan): the
+    streamed topic labels equal the batch assignment."""
+    import numpy as np
+
+    from kg_obo_spark.operators.conversations import conversation_embeddings
+    from kg_obo_spark.operators.similarity import ivf_assign, kmeans_centroids
+    from kg_obo_spark.streaming.conversations import (
+        stream_conversation_embeddings,
+    )
+
+    rng = np.random.RandomState(9)
+    centers = rng.randn(2, 5) * 3
+    vecs = {
+        c * 4 + t: [float(x) for x in
+                    (centers[c % 2] + 0.1 * rng.randn(5)).astype("float32")]
+        for c in range(6) for t in range(4)
+    }
+    eschema = "vec_id long, embedding array<float>"
+    emb = spark.createDataFrame([(i, v) for i, v in vecs.items()], eschema)
+    pooled = conversation_embeddings(emb).localCheckpoint()
+    cents = kmeans_centroids(pooled, 2, iters=2, id_col="conv_id",
+                             vec_col="cemb").localCheckpoint()
+    want = {r.conv_id: r.centroid_id
+            for r in ivf_assign(pooled, cents, "conv_id", "cemb").collect()}
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], eschema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(eschema).parquet(src)
+    labeled = ivf_assign(
+        stream_conversation_embeddings(stream), cents, "conv_id", "cemb"
+    ).select("conv_id", "centroid_id")
+    q = (
+        labeled.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("slabel")
+        .option("checkpointLocation", str(tmp_path / "ckpt_label"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r.conv_id: r.centroid_id
+           for r in spark.sql("SELECT * FROM slabel").collect()}
+    assert got == want and len(got) == 6
