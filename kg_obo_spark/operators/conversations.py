@@ -44,6 +44,7 @@ __all__ = [
     "conversation_embeddings",
     "conversation_near_dup",
     "cluster_conversations",
+    "conversation_near_dup_clustered",
 ]
 
 # Epoch base for the deterministic synthetic timestamp column (seconds).
@@ -735,4 +736,62 @@ def cluster_conversations(
     )
     return ivf_assign(pooled, cents, "conv_id", "cemb").select(
         "conv_id", F.col("centroid_id").alias("cluster_id")
+    )
+
+
+def conversation_near_dup_clustered(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_clusters: int = 8,
+    iters: int = 2,
+    turns_per_conv: int = TURNS_PER_CONV,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-blocked semantic near-dup (the SemDeDup deployment shape):
+    pool -> k-means assign -> compare pairs only WITHIN a cluster. Same
+    output schema as :func:`conversation_near_dup`; approximate — a pair
+    straddling a cluster boundary is missed (recall vs the exact operator
+    is measured in tests; high thresholds live well inside clusters).
+
+    Scale shape: the corpus-quadratic exact pair stage becomes
+    sum-over-clusters quadratic — one hash(cluster_id) exchange of the
+    pooled frame per side, candidate volume n²/k for balanced clusters.
+    Raise ``n_clusters`` as the corpus grows (SemDeDup runs tens of
+    thousands of clusters at web scale); clusters are data-dependent, so a
+    degenerate embedding distribution (everything in one cluster) degrades
+    to the exact cost, never to wrong answers.
+    """
+    from kg_obo_spark.operators.similarity import (
+        cosine,
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    pooled = (
+        conversation_embeddings(embeddings, turns_per_conv, id_col, vec_col)
+        .filter(F.col("n_turns") == turns_per_conv)
+        .localCheckpoint()
+    )
+    cents = kmeans_centroids(
+        pooled, n_clusters, iters, id_col="conv_id", vec_col="cemb"
+    )
+    assigned = ivf_assign(pooled, cents, "conv_id", "cemb").localCheckpoint()
+    a = assigned.select(
+        F.col("conv_id").alias("a"),
+        F.col("cemb").alias("va"),
+        F.col("centroid_id").alias("_ca"),
+    )
+    b = assigned.select(
+        F.col("conv_id").alias("b"),
+        F.col("cemb").alias("vb"),
+        F.col("centroid_id").alias("_cb"),
+    )
+    sim_e6 = F.floor(
+        F.lit(1_000_000.0) * cosine(F.col("va"), F.col("vb"))
+    ).cast("long")
+    return (
+        a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("a") < F.col("b")))
+        .select("a", "b", sim_e6.alias("sim_e6"))
+        .filter(F.col("sim_e6") >= int(threshold * 1_000_000))
     )

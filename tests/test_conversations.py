@@ -653,3 +653,41 @@ def test_cluster_conversations_matches_numpy_lloyd(spark):
         emb.repartition(7), n_clusters=3, iters=2
     )
     assert {r.conv_id: r.cluster_id for r in shuffled.collect()} == got
+
+
+def test_conversation_near_dup_clustered_recall(spark):
+    """Cluster blocking is a subset of the exact pairs (never a wrong pair)
+    and keeps every high-similarity pair when near-dups share a topic
+    cluster; the equi-join on cluster_id is a plain hash join (no cartesian
+    in the plan)."""
+    import numpy as np
+
+    from kg_obo_spark.operators.conversations import (
+        conversation_near_dup,
+        conversation_near_dup_clustered,
+    )
+
+    rng = np.random.RandomState(21)
+    centers = rng.randn(2, 6) * 4
+    vecs = {}
+    for conv in range(10):
+        base = centers[conv % 2]
+        # convs 0 and 2 near-identical; 1 and 3 near-identical
+        jit = 0.02 if conv in (0, 1, 2, 3) else 1.5
+        for t in range(4):
+            vecs[conv * 4 + t] = (base + jit * rng.randn(6)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {(r.a, r.b) for r in conversation_near_dup(emb, 0.9).collect()}
+    blocked_df = conversation_near_dup_clustered(
+        emb, 0.9, n_clusters=2, iters=2
+    )
+    blocked = {(r.a, r.b) for r in blocked_df.collect()}
+    assert {(0, 2), (1, 3)} <= exact
+    assert blocked <= exact  # never invents a pair
+    assert {(0, 2), (1, 3)} <= blocked  # same-topic near-dups survive blocking
+    # the pair stage is an equi-join on cluster_id, never a cartesian
+    plan = blocked_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
