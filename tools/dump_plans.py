@@ -78,6 +78,18 @@ def _sft_atomic_plan(spark):
     return pack_examples_atomic(counts, budget=16, n_shards=4, seed=3)
 
 
+def _semantic_dedup_plan(spark):
+    from kg_obo_spark.operators.conversations import (
+        conversation_near_dup_clustered,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 5) for d in range(4)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    return conversation_near_dup_clustered(emb, 0.1, n_clusters=2, iters=1)
+
+
 def main() -> None:
     spark = get_spark(app_name="plans", master="local[8]")
     onto = build_ontology()
@@ -195,6 +207,15 @@ def main() -> None:
             "hashpartitioning(shard), one task per shard, parallel across\n"
             "shards; shard/order assignment is a map-side md5 projection.",
             fmt(_sft_atomic_plan(spark)),
+        ),
+        (
+            "Cluster-blocked semantic near-dup (pool -> assign -> equi-join)",
+            "Mean-pooling is ONE Exchange hashpartitioning(conv_id) with the\n"
+            "element-wise fold as map-side HOFs (the plan below starts from the\n"
+            "checkpointed pooled+assigned frame); the pair stage is a plain\n"
+            "hash equi-join on cluster_id — candidates n^2/k, never a\n"
+            "CartesianProduct (asserted in tests/test_conversations.py).",
+            fmt(_semantic_dedup_plan(spark)),
         ),
     ]
     with open("/root/repo/docs/PLANS.md", "w") as f:
