@@ -691,3 +691,60 @@ def test_conversation_near_dup_clustered_recall(spark):
     # the pair stage is an equi-join on cluster_id, never a cartesian
     plan = blocked_df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_topic_balanced_mixture_composition(spark):
+    """The documented composition works end-to-end: cluster_conversations
+    labels feed mixture_resample for per-topic rebalancing at CONVERSATION
+    granularity — the scarce topic (anchor) is kept whole, the dominant one
+    thinned, and a semi-join keeps or drops whole conversations."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from kg_obo_spark.operators.conversations import cluster_conversations
+    from kg_obo_spark.operators.sampling import mixture_resample
+
+    rng = np.random.RandomState(17)
+    centers = rng.randn(2, 5) * 4
+    # topic 0: 12 conversations, topic 1: 3 — heavily unbalanced
+    topic = {c: (0 if c < 12 else 1) for c in range(15)}
+    vecs = {
+        c * 4 + t: [float(x) for x in
+                    (centers[topic[c]] + 0.05 * rng.randn(5)).astype("float32")]
+        for c in range(15) for t in range(4)
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    labels = cluster_conversations(emb, n_clusters=2, iters=2).withColumn(
+        "topic", F.col("cluster_id").cast("string")
+    ).localCheckpoint()
+    by_label = {r.conv_id: r.topic for r in labels.collect()}
+    sizes = {}
+    for t in by_label.values():
+        sizes[t] = sizes.get(t, 0) + 1
+    assert sorted(sizes.values()) == [3, 12]  # clustering recovered the skew
+    scarce = min(sizes, key=sizes.get)
+
+    kept = mixture_resample(
+        labels, key_col="conv_id", strata_col="topic",
+        weights={t: 1 for t in sizes},
+    )
+    kept_convs = {r.conv_id for r in kept.collect()}
+    # anchor (scarce) topic kept whole; dominant topic thinned
+    assert {c for c, t in by_label.items() if t == scarce} <= kept_convs
+    assert len(kept_convs) < 15
+
+    # conversation granularity: the semi-join keeps every turn of a kept
+    # conversation and no turn of a dropped one
+    tr = spark.createDataFrame(
+        [(c, t, "user", None, 0, "x") for c in range(15) for t in range(4)],
+        "conv_id long, turn_idx int, role string, tool string, "
+        "ts_s long, text string",
+    )
+    kept_turns = tr.join(
+        kept.select("conv_id"), "conv_id", "left_semi"
+    ).collect()
+    assert {r.conv_id for r in kept_turns} == kept_convs
+    assert len(kept_turns) == 4 * len(kept_convs)
