@@ -9,10 +9,11 @@ deterministic synthetic transcripts corpus, and prints ONE JSON line:
      "queries": {...per-query sec...}, "sf": <sf>, "triples_per_sec": ...}
 
 ``--scaling`` mode: runs the identical pipeline job in fresh subprocess JVMs at
-local[8] and local[32] on the same cached parquet input and writes
-BENCH/BASELINE.md with absolute triples/sec at both levels plus the efficiency
-(T32/T8)/4 — the sandbox evidence for the north_rule two-cluster-size
-criterion (no real cluster here; see BASELINE.md).
+local[2]/local[8]/local[32] on the same cached parquet input and writes
+BENCH/SCALING_LAST.md with absolute triples/sec at each level plus the N->4N
+efficiencies — the sandbox evidence for the north_rule two-cluster-size
+criterion (no real cluster here). BENCH/BASELINE.md is the CURATED
+multi-session record; fold each session in by hand (weather-window rule).
 
 Every timed query runs against the noop sink (full computation, no output
 cost). Transcripts input is generated once per (n_convs, seed) and cached as
@@ -555,7 +556,11 @@ def run_scaling(reps: int = 3, levels: tuple[int, ...] = (2, 8, 32)) -> None:
         f"{results[c]['turns_per_sec']} | {results[c]['all_runs_sec']} |"
         for c in levels
     )
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # SCALING_LAST.md, not BASELINE.md: BASELINE.md is the CURATED
+    # multi-session record (headline = best within-session draw across the
+    # round's sessions, weather-window rule) — an automatic rewrite once
+    # destroyed that history. Fold the session into BASELINE.md by hand.
+    with open(os.path.join(REPO, "BENCH", "SCALING_LAST.md"), "w") as f:
         f.write(
             "# BENCH baseline — two-cluster-size scaling evidence\n\n"
             "No real multi-executor cluster exists in this sandbox, so the\n"
