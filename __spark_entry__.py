@@ -1702,6 +1702,43 @@ def q_conversation_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def q_cluster_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-cluster conversations by deterministic k-means over mean-pooled
+    turn embeddings (SemDeDup's grouping layer). Engine-portable
+    configuration: md5-ordered seeds + EXACT fixed-point Lloyd means
+    (floor-e6 int64 sums — order-independent, so the clustering is
+    bit-reproducible at any parallelism and the oracle can unroll the same
+    two iterations in SQL). Corpus never reshuffles: broadcast map-only
+    assignment + one (clusters x dim)-row shuffle per iteration."""
+    from kg_obo_spark.operators.conversations import cluster_conversations
+    from kg_obo_spark.operators.similarity import deterministic_centroids_md5
+
+    return cluster_conversations(
+        _t(spark, sf_dir, "embeddings"), n_clusters=8, iters=2,
+        exact=True, seed_fn=deterministic_centroids_md5,
+    )
+
+
+def q_conversation_near_dup_clustered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-blocked semantic near-dup (the SemDeDup deployment shape):
+    pool -> exact-mean k-means assign -> cosine pairs only WITHIN a cluster.
+    Candidate volume n^2/k for balanced clusters vs the exact operator's
+    n^2; approximate by design (boundary-straddling pairs are missed — the
+    oracle mirrors the SAME blocking, so parity is still exact), recall vs
+    the exact operator pinned in tests/test_conversations.py."""
+    from kg_obo_spark.operators.conversations import (
+        conversation_near_dup_clustered,
+    )
+    from kg_obo_spark.operators.similarity import deterministic_centroids_md5
+
+    return conversation_near_dup_clustered(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_clusters=8,
+        iters=2, exact=True, seed_fn=deterministic_centroids_md5,
+    )
+
+
 def q_dedup_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level exact dedup: md5 fingerprint of the turn-ordered
     normalized transcript + keep-first min-conv window. Two inherent
@@ -1877,6 +1914,14 @@ _ROTATED_OUT = (
     # return in r8 per the alternating schedule
     "kg_mentions",  # parked for chunk_conversations_budget_bpe (r6-green)
     "pipeline_transcripts",  # parked for conversation_near_dup (r6-green)
+    # oracled-at-birth, parked until r8 (roadmap #12): the r7 window has no
+    # parkable r6-green names left — every swap candidate's last driver row
+    # is r5, and parking one would break the every-other-round rule. Both
+    # are value-verified at sf0.001/0.01/0.1 by tools/parity_check.py and
+    # covered by test_rotated_parity; they take driver slots in the r8
+    # rotation when the 51 parked names return.
+    "cluster_conversations",
+    "conversation_near_dup_clustered",
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -1969,6 +2014,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_conversations_budget": q_chunk_conversations_budget,
         "chunk_conversations_budget_bpe": q_chunk_conversations_budget_bpe,
         "conversation_near_dup": q_conversation_near_dup,
+        "cluster_conversations": q_cluster_conversations,
+        "conversation_near_dup_clustered": q_conversation_near_dup_clustered,
         "preference_pairs": q_preference_pairs,
         "gram_familiarity": q_gram_familiarity,
         "conversation_entities": q_conversation_entities,
@@ -2353,6 +2400,92 @@ def _conversation_near_dup_sql() -> str:
           FROM p p1 JOIN p p2 ON p1.conv_id < p2.conv_id
         )
         SELECT a, b, sim_e6 FROM s WHERE sim_e6 >= 350000
+        """
+
+
+def _kmeans_conv_ctes(k: int = 8, iters: int = 2) -> str:
+    """Shared CTE chain for the clustered-conversation oracles: pooled
+    conversation embeddings (the _conversation_near_dup_sql left-fold
+    pattern), md5-ordered seed centroids renumbered in conv_id order
+    (deterministic_centroids_md5), then ``iters`` UNROLLED Lloyd iterations
+    with the EXACT fixed-point mean (floor-e6 int64 sums, floor-div by the
+    count — kmeans_centroids(exact=True) mirrors this bit for bit; float
+    avg() would be partial-aggregation-order-dependent and never oracle).
+    Assignment tie-break (max cosine, then smallest centroid) matches
+    ivf_assign's struct-max. Empty clusters keep the previous centroid
+    (LEFT JOIN + coalesce). a{iters} is the final assignment; 64 is the
+    embeddings table's contract-fixed dimension."""
+    pooled = (
+        "(CAST(e0[i] AS DOUBLE) + CAST(e1[i] AS DOUBLE)"
+        " + CAST(e2[i] AS DOUBLE) + CAST(e3[i] AS DOUBLE)) / 4"
+    )
+    ctes = [
+        f"""ce AS (
+          SELECT vec_id // 4 AS conv_id,
+                 max(embedding) FILTER (WHERE vec_id % 4 = 0) AS e0,
+                 max(embedding) FILTER (WHERE vec_id % 4 = 1) AS e1,
+                 max(embedding) FILTER (WHERE vec_id % 4 = 2) AS e2,
+                 max(embedding) FILTER (WHERE vec_id % 4 = 3) AS e3
+          FROM embeddings GROUP BY vec_id // 4 HAVING count(*) = 4
+        )""",
+        f"""p AS (
+          SELECT conv_id,
+                 list_transform(generate_series(1, len(e0)),
+                                i -> {pooled}) AS cemb
+          FROM ce
+        )""",
+        f"""c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY conv_id) AS INT) AS cid,
+                 cemb AS cv
+          FROM (SELECT conv_id, cemb FROM p
+                ORDER BY md5(CAST(conv_id AS VARCHAR)), conv_id LIMIT {k})
+        )""",
+    ]
+    for t in range(iters + 1):
+        ctes.append(f"""a{t} AS (
+          SELECT conv_id, cemb, cid FROM (
+            SELECT p.conv_id, p.cemb, c.cid,
+                   row_number() OVER (
+                     PARTITION BY p.conv_id
+                     ORDER BY ({_cos_sql('p.cemb', 'c.cv')}) DESC, c.cid
+                   ) AS rn
+            FROM p CROSS JOIN c{t} c
+          ) WHERE rn = 1
+        )""")
+        if t < iters:
+            ctes.append(f"""m{t} AS (
+          SELECT cid, gs.i AS i,
+                 CAST(floor(CAST(sum(CAST(floor(cemb[gs.i] * 1000000.0)
+                                         AS BIGINT)) AS DOUBLE)
+                            / count(*)) AS BIGINT) / 1000000.0 AS m
+          FROM a{t}, generate_series(1, 64) AS gs(i)
+          GROUP BY cid, gs.i
+        )""")
+            ctes.append(f"""c{t + 1} AS (
+          SELECT s.cid, coalesce(m.cv, s.cv) AS cv
+          FROM c{t} s LEFT JOIN (
+            SELECT cid, list(m ORDER BY i) AS cv FROM m{t} GROUP BY cid
+          ) m ON s.cid = m.cid
+        )""")
+    return ",\n".join(ctes)
+
+
+def _cluster_conversations_sql() -> str:
+    return f"""
+        WITH {_kmeans_conv_ctes(8, 2)}
+        SELECT conv_id, cid AS cluster_id FROM a2
+        """
+
+
+def _conversation_near_dup_clustered_sql() -> str:
+    return f"""
+        WITH {_kmeans_conv_ctes(8, 2)}
+        SELECT a, b, sim_e6 FROM (
+          SELECT x.conv_id AS a, y.conv_id AS b,
+                 CAST(floor(1000000.0 *
+                      ({_cos_sql('x.cemb', 'y.cemb')})) AS BIGINT) AS sim_e6
+          FROM a2 x JOIN a2 y ON x.cid = y.cid AND x.conv_id < y.conv_id
+        ) WHERE sim_e6 >= 350000
         """
 
 
@@ -4146,6 +4279,9 @@ def all_oracle_sql() -> dict[str, str]:
         # conversation near-dup over mean-pooled turn embeddings
         "chunk_conversations_budget_bpe": _wordpiece_chunk_conv_budget_sql(),
         "conversation_near_dup": _conversation_near_dup_sql(),
+        "cluster_conversations": _cluster_conversations_sql(),
+        "conversation_near_dup_clustered":
+            _conversation_near_dup_clustered_sql(),
         # Token-budget dialogue chunking: the greedy turn-atomic fold
         # replayed as a recursive CTE (one turn per conversation per step)
         "chunk_conversations_budget": r"""

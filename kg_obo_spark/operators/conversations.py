@@ -708,6 +708,8 @@ def cluster_conversations(
     turns_per_conv: int = TURNS_PER_CONV,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
+    seed_fn=None,
 ) -> DataFrame:
     """(conv_id, cluster_id): topic-cluster conversations by deterministic
     k-means over their mean-pooled turn embeddings — the grouping layer
@@ -721,8 +723,11 @@ def cluster_conversations(
     iteration) -> :func:`~kg_obo_spark.operators.similarity.
     kmeans_centroids` (hash-spread deterministic seeds, broadcast map-only
     assignment, one (clusters x dim)-row shuffle per iteration — corpus
-    never reshuffles) -> final map-only assignment. Fully deterministic:
-    same input -> same clustering at any parallelism.
+    never reshuffles) -> final map-only assignment. Deterministic given the
+    mean values; ``exact=True`` (fixed-point integer means, see
+    kmeans_centroids) makes the clustering BIT-reproducible at any
+    parallelism, and with ``seed_fn=deterministic_centroids_md5`` fully
+    engine-portable — the contract-oracle configuration.
     """
     from kg_obo_spark.operators.similarity import ivf_assign, kmeans_centroids
 
@@ -732,7 +737,8 @@ def cluster_conversations(
         .localCheckpoint()
     )
     cents = kmeans_centroids(
-        pooled, n_clusters, iters, id_col="conv_id", vec_col="cemb"
+        pooled, n_clusters, iters, id_col="conv_id", vec_col="cemb",
+        exact=exact, seed_fn=seed_fn,
     )
     return ivf_assign(pooled, cents, "conv_id", "cemb").select(
         "conv_id", F.col("centroid_id").alias("cluster_id")
@@ -747,6 +753,8 @@ def conversation_near_dup_clustered(
     turns_per_conv: int = TURNS_PER_CONV,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
+    seed_fn=None,
 ) -> DataFrame:
     """Cluster-blocked semantic near-dup (the SemDeDup deployment shape):
     pool -> k-means assign -> compare pairs only WITHIN a cluster. Same
@@ -774,7 +782,8 @@ def conversation_near_dup_clustered(
         .localCheckpoint()
     )
     cents = kmeans_centroids(
-        pooled, n_clusters, iters, id_col="conv_id", vec_col="cemb"
+        pooled, n_clusters, iters, id_col="conv_id", vec_col="cemb",
+        exact=exact, seed_fn=seed_fn,
     )
     assigned = ivf_assign(pooled, cents, "conv_id", "cemb").localCheckpoint()
     a = assigned.select(

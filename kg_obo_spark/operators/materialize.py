@@ -196,21 +196,13 @@ def edges_from_per_turn(per_turn: DataFrame, onto: Ontology) -> DataFrame:
     return co.unionByName(isa_from_mentioned(mentioned, onto))
 
 
-def edges_from_per_turn_ranks(
+def co_edges_from_per_turn_ranks(
     per_turn_ranks: DataFrame, cu, onto: Ontology
 ) -> DataFrame:
-    """Vocab-int edge materialization (ROADMAP #1): the same KGX edge table
-    as :func:`edges_from_per_turn`, but the pair-expansion distinct shuffles
-    integer RANKS (two int32s per row) instead of CURIE strings, and the
-    unmap back to strings is a pure ``element_at`` projection against the
-    literal sorted canonical term table ``cu`` — no unmap joins (the r3
-    experiment's cost center). Because ``cu`` is lexicographically sorted,
-    rank order == string order and the a < b pair set is identical to the
-    string path (pinned by tests/test_materialize_ranks.py).
-
-    ``per_turn_ranks`` is :func:`~kg_obo_spark.operators.extract.
-    extract_turn_ranks` output; ``cu`` is the matcher's
-    ``canon_rank_table(canon)[1]`` (driver-side)."""
+    """Co-mention-only core of the vocab-int edge path: int32 pair expansion
+    + distinct on (a, b) ranks + ``element_at`` literal unmap + constant KGX
+    columns. Shared by :func:`edges_from_per_turn_ranks` (adds is_a) and the
+    pipeline's per-unit edge stage (is_a is finalize-global there)."""
     cu_list = [str(s) for s in cu]
     lit_cu = F.lit(cu_list)
     first = per_turn_ranks.filter(F.size("ranks") >= 2).select(
@@ -227,19 +219,67 @@ def edges_from_per_turn_ranks(
         .select("a", "b")
         .distinct()
     )
-    co = co_pairs.select(
+    return co_pairs.select(
         F.element_at(lit_cu, F.col("a") + 1).alias("subject"),
         F.lit(CO_MENTION_PREDICATE).alias("predicate"),
         F.element_at(lit_cu, F.col("b") + 1).alias("object"),
         F.lit(CO_MENTION_RELATION).alias("relation"),
         F.lit(onto.knowledge_source).alias("knowledge_source"),
     )
+
+
+def edges_from_per_turn_ranks(
+    per_turn_ranks: DataFrame, cu, onto: Ontology
+) -> DataFrame:
+    """Vocab-int edge materialization (ROADMAP #1): the same KGX edge table
+    as :func:`edges_from_per_turn`, but the pair-expansion distinct shuffles
+    integer RANKS (two int32s per row) instead of CURIE strings, and the
+    unmap back to strings is a pure ``element_at`` projection against the
+    literal sorted canonical term table ``cu`` — no unmap joins (the r3
+    experiment's cost center). Because ``cu`` is lexicographically sorted,
+    rank order == string order and the a < b pair set is identical to the
+    string path (pinned by tests/test_materialize_ranks.py).
+
+    ``per_turn_ranks`` is :func:`~kg_obo_spark.operators.extract.
+    extract_turn_ranks` output; ``cu`` is the matcher's
+    ``canon_rank_table(canon)[1]`` (driver-side)."""
+    co = co_edges_from_per_turn_ranks(per_turn_ranks, cu, onto)
+    cu_list = [str(s) for s in cu]
     mentioned = (
         per_turn_ranks.select(F.explode("ranks").alias("r"))
         .distinct()
-        .select(F.element_at(lit_cu, F.col("r") + 1).alias("id"))
+        .select(F.element_at(F.lit(cu_list), F.col("r") + 1).alias("id"))
     )
     return co.unionByName(isa_from_mentioned(mentioned, onto))
+
+
+def co_edges_from_mention_ranks(
+    mentions: DataFrame, cu, onto: Ontology
+) -> DataFrame:
+    """Vocab-int co-mention edges from COMMITTED canonical mention rows
+    (ROADMAP #13): the pipeline's per-unit edge stage above the crossover.
+
+    The committed mention artifacts keep string CURIEs — they are the
+    lineage / resume / downstream-read surface — so this path re-ranks them
+    on the way into the pair shuffle: a broadcast join against the tiny
+    (canonical id, rank) table (bounded by dictionary size), then the
+    (conv, turn) reduce and pair-expansion distinct both shuffle int32s
+    instead of CURIE strings. ``cu`` must cover every canonical term_id in
+    ``mentions`` (the matcher's full-level ``canon_rank_table(canon)[1]`` is
+    a superset of any degraded level's ids); the inner join is then
+    row-preserving. Output is identical to
+    ``build_edges(mentions, onto, include_isa=False)`` — pinned by
+    tests/test_materialize_ranks.py."""
+    spark = mentions.sparkSession
+    rt = spark.createDataFrame(
+        [(str(s), i) for i, s in enumerate(cu)], "id string, r int"
+    )
+    per_turn = (
+        mentions.join(F.broadcast(rt), mentions["term_id"] == rt["id"])
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.array_sort(F.collect_set("r")).alias("ranks"))
+    )
+    return co_edges_from_per_turn_ranks(per_turn, cu, onto)
 
 
 # Edge-stage crossover for the vocab-int pair shuffle, in TURN rows

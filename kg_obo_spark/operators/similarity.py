@@ -429,6 +429,8 @@ def kmeans_centroids(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
+    seed_fn=None,
 ) -> DataFrame:
     """Deterministic distributed Lloyd refinement of the hash-spread seeds.
 
@@ -438,17 +440,70 @@ def kmeans_centroids(
     array. Per iteration that is ONE shuffle whose rows are (centroids x dim)
     partial sums after map-side aggregation — independent of corpus size.
     Empty clusters keep their previous centroid (standard Lloyd fallback).
-    No RNG anywhere: same input -> same centroids, any cluster size."""
-    cents = deterministic_centroids(embeddings, n_centroids, id_col, vec_col)
+    No RNG anywhere: same input -> same centroids, any cluster size.
+
+    ``exact=True`` swaps the float ``avg()`` mean for a fixed-point one:
+    each component is quantized ``floor(v * 1e6)`` to int64, summed (integer
+    addition is associative + commutative, so the sum is independent of
+    partition count and combine order — float partial sums are NOT), and the
+    mean taken as ``floor(sum / n) / 1e6``. That makes the refined centroids
+    BIT-REPRODUCIBLE at any parallelism (local[2] == local[32] == a
+    1000-executor cluster) and replayable by an external engine — the
+    contract oracles unroll the same iterations in DuckDB. Same shuffle
+    shape and cost (two int64 columns instead of avg's sum+count). Pair with
+    ``seed_fn=deterministic_centroids_md5`` for a fully engine-portable
+    chain; default seeds stay xxhash64 (cheaper codegen hash).
+
+    ``seed_fn`` overrides seed selection (signature of
+    :func:`deterministic_centroids`).
+    """
+    cents = (seed_fn or deterministic_centroids)(
+        embeddings, n_centroids, id_col, vec_col
+    )
+    if exact:
+        # pin the centroid dtype to double from the start: the fixed-point
+        # means below are exact doubles, and coalesce() with a float _prev
+        # (empty-cluster fallback) would otherwise change the column type
+        # between iterations
+        cents = cents.select(
+            "centroid_id",
+            F.transform(
+                "centroid_vec", lambda x: x.cast("double")
+            ).alias("centroid_vec"),
+        ).localCheckpoint()
     for _ in range(iters):
         assigned = ivf_assign(embeddings, cents, id_col, vec_col)
-        means = (
-            assigned.select(
-                "centroid_id", F.posexplode(vec_col).alias("dim", "val")
+        per_dim = assigned.select(
+            "centroid_id", F.posexplode(vec_col).alias("dim", "val")
+        )
+        if exact:
+            dim_means = (
+                per_dim.groupBy("centroid_id", "dim")
+                .agg(
+                    F.sum(
+                        F.floor(
+                            F.col("val").cast("double") * 1_000_000.0
+                        ).cast("long")
+                    ).alias("_s"),
+                    F.count(F.lit(1)).alias("_n"),
+                )
+                .select(
+                    "centroid_id",
+                    "dim",
+                    (
+                        F.floor(F.col("_s").cast("double") / F.col("_n"))
+                        / F.lit(1_000_000.0)
+                    ).alias("m"),
+                )
             )
-            .groupBy("centroid_id", "dim")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
-            .groupBy("centroid_id")
+            out_type = "double"
+        else:
+            dim_means = per_dim.groupBy("centroid_id", "dim").agg(
+                F.avg(F.col("val").cast("double")).alias("m")
+            )
+            out_type = "float"
+        means = (
+            dim_means.groupBy("centroid_id")
             .agg(
                 F.array_sort(
                     F.collect_list(F.struct("dim", "m"))
@@ -456,7 +511,7 @@ def kmeans_centroids(
             )
             .select(
                 "centroid_id",
-                F.transform("dm", lambda x: x["m"].cast("float")).alias(
+                F.transform("dm", lambda x: x["m"].cast(out_type)).alias(
                     "centroid_vec"
                 ),
             )

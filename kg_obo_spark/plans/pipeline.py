@@ -40,10 +40,12 @@ from kg_obo_spark.operators.extract import (
     split_valid_turns,
 )
 from kg_obo_spark.operators.materialize import (
+    VOCAB_INT_CROSSOVER_TURNS,
     build_edges,
     build_isa_edges,
     build_nodes,
     canonical_mentions,
+    co_edges_from_mention_ranks,
 )
 from kg_obo_spark.plans.tracking import TrackingStore, partition_metrics
 from kg_obo_spark.sources.tableio import Lock, Table
@@ -70,12 +72,22 @@ def run_pipeline(
     fail_after_batches: int | None = None,
     max_candidates_per_turn: int | None = None,
     max_degradation_level: int | None = None,
+    int_rank_edges: bool | None = None,
 ) -> PipelineResult:
     """Run (or resume) the full pipeline; returns the final node/edge frames.
 
     ``unit_batch_size``: units per atomic commit (None = all pending in one).
     ``fail_after_batches``: test hook — raise after N committed batches to
     exercise crash/resume.
+    ``int_rank_edges``: per-unit co-mention edge representation (ROADMAP
+    #13). None (default) auto-switches per unit batch: the batch's exact
+    turn count (``n_in``, already counted for lineage) against
+    ``VOCAB_INT_CROSSOVER_TURNS`` — above it the pair shuffle carries int32
+    ranks (re-ranked from the committed string-CURIE mention artifacts via a
+    broadcast join; 1.7x on the edge stage at 2M convs,
+    BENCH/VOCAB_INT_AB.md), below it strings win. True/False force a path.
+    Either path commits the identical distinct triple set, so mixed batches
+    across a resume are safe.
     ``max_candidates_per_turn`` arms the per-turn candidate budget; when a unit
     batch blows it, the batch is retried at the next degradation level (repair
     ladder, reference robot_utils.py:108-143 analog — see
@@ -134,6 +146,7 @@ def run_pipeline(
             if max_degradation_level is None
             else max_degradation_level
         )
+        rank_cu = None  # lazily-built canonical rank table (ROADMAP #13)
         for units in batches:
             sub = tr.filter(F.col("bucket").isin(units))
             valid, errors = split_valid_turns(sub)
@@ -188,7 +201,29 @@ def run_pipeline(
                 # (VERDICT r3 missing #3)
                 snap_m = mentions_t.snapshot_by_tag(unit_tag)
             batch_mentions = spark.read.parquet(json.loads(snap_m.data_dir)[-1])
-            co = build_edges(batch_mentions, onto, include_isa=False)
+            use_ranks = (
+                int_rank_edges
+                if int_rank_edges is not None
+                else n_in >= VOCAB_INT_CROSSOVER_TURNS
+            )
+            if use_ranks:
+                if rank_cu is None:
+                    # canonical rank table, built once per run: canon dict
+                    # from the (tiny, by design) cmap frame, term universe
+                    # from the full-level matcher — a superset of every
+                    # degraded level's ids, so the re-rank join below is
+                    # row-preserving for any committed batch
+                    from kg_obo_spark.dictionary import get_matcher
+
+                    canon_dict = {
+                        r["term_id"]: r["canonical_id"] for r in cmap.collect()
+                    }
+                    rank_cu = get_matcher(onto, 0).canon_rank_table(
+                        canon_dict
+                    )[1]
+                co = co_edges_from_mention_ranks(batch_mentions, rank_cu, onto)
+            else:
+                co = build_edges(batch_mentions, onto, include_isa=False)
             snap_e = co_edges_t.commit(
                 co, mode="append", if_absent_tag=unit_tag, meta={"units": units}
             )

@@ -231,6 +231,39 @@ def test_kmeans_centroids_deterministic_and_effective(spark):
     assert len(exact & refined) >= len(exact & seed)
 
 
+def test_kmeans_exact_means_bit_reproducible_across_partitionings(spark):
+    """exact=True swaps float avg() for fixed-point int64-sum means: integer
+    addition is order-independent, so the refined centroid VECTORS are
+    bit-identical at any partitioning (the float path only promises
+    assignment-level stability on well-separated data). Also pins the
+    exact path's dtype (double) and that seeds still refine (centroids
+    move off the seed vectors) and md5 seeding composes."""
+    from kg_obo_spark.operators.similarity import (
+        deterministic_centroids_md5,
+        kmeans_centroids,
+    )
+
+    emb = _emb(spark, n=120)
+    base = {r["centroid_id"]: list(r["centroid_vec"]) for r in
+            kmeans_centroids(emb, n_centroids=6, iters=2,
+                             exact=True).collect()}
+    for parts in (1, 13):
+        other = {r["centroid_id"]: list(r["centroid_vec"]) for r in
+                 kmeans_centroids(emb.repartition(parts), n_centroids=6,
+                                  iters=2, exact=True).collect()}
+        assert other == base  # bit-equal, not approximately equal
+    assert len(base) == 6
+    df = kmeans_centroids(emb, n_centroids=6, iters=1, exact=True)
+    assert dict(df.dtypes)["centroid_vec"] == "array<double>"
+    seeds = {r["centroid_id"]: [float(x) for x in r["centroid_vec"]] for r in
+             deterministic_centroids_md5(emb, 6).collect()}
+    refined = {r["centroid_id"]: list(r["centroid_vec"]) for r in
+               kmeans_centroids(emb, n_centroids=6, iters=2, exact=True,
+                                seed_fn=deterministic_centroids_md5).collect()}
+    assert set(refined) == set(seeds)
+    assert any(refined[k] != seeds[k] for k in refined)
+
+
 def test_ivf_index_partition_prunes(spark, tmp_path):
     """On-disk IVF: probe reads ONLY the queried cells' hive partitions
     (PartitionFilters isin), and results equal the in-memory ivf_topk with
