@@ -1739,6 +1739,28 @@ def q_conversation_near_dup_clustered(
     )
 
 
+def q_conversation_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH-blocked semantic near-dup over pooled conversation
+    embeddings (ROADMAP #11) — the data-independent scale path beside the
+    cluster blocking. Literal md5-sign planes feed the PRODUCTION pooling +
+    blocking + cap + cosine-verify chain via ``planes=`` (the
+    emb_near_dup_lsh pattern, just keyed by (conv_id, cemb)); the oracle
+    recomputes the pooled fold, every signature bit, the chunk join, and
+    the verify. max_bucket 1e6 so the cap slice never truncates at any test
+    SF; production keeps the splitmix64 numpy signatures and a real cap."""
+    from kg_obo_spark.operators.conversations import conversation_near_dup_lsh
+    from kg_obo_spark.operators.similarity import md5_sign_planes
+
+    return conversation_near_dup_lsh(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.35,
+        n_planes=_LSH_N_PLANES,
+        prefix_bits=_LSH_PREFIX_BITS,
+        max_bucket=1_000_000,
+        planes=md5_sign_planes(_LSH_N_PLANES, _EMB_DIM),
+    ).select("a", "b")
+
+
 def q_dedup_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level exact dedup: md5 fingerprint of the turn-ordered
     normalized transcript + keep-first min-conv window. Two inherent
@@ -1922,6 +1944,7 @@ _ROTATED_OUT = (
     # rotation when the 51 parked names return.
     "cluster_conversations",
     "conversation_near_dup_clustered",
+    "conversation_near_dup_lsh",
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -2016,6 +2039,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_near_dup": q_conversation_near_dup,
         "cluster_conversations": q_cluster_conversations,
         "conversation_near_dup_clustered": q_conversation_near_dup_clustered,
+        "conversation_near_dup_lsh": q_conversation_near_dup_lsh,
         "preference_pairs": q_preference_pairs,
         "gram_familiarity": q_gram_familiarity,
         "conversation_entities": q_conversation_entities,
@@ -2486,6 +2510,54 @@ def _conversation_near_dup_clustered_sql() -> str:
                       ({_cos_sql('x.cemb', 'y.cemb')})) AS BIGINT) AS sim_e6
           FROM a2 x JOIN a2 y ON x.cid = y.cid AND x.conv_id < y.conv_id
         ) WHERE sim_e6 >= 350000
+        """
+
+
+def _conversation_near_dup_lsh_sql() -> str:
+    """DuckDB mirror of q_conversation_near_dup_lsh: the pooled-fold CTEs
+    from _conversation_near_dup_sql feeding the emb_near_dup_lsh oracle's
+    signature / chunk-blocking / a<b-candidate / rounded-cosine-verify
+    chain, keyed by conv_id."""
+    return f"""
+        WITH ce AS (
+          SELECT vec_id // 4 AS conv_id,
+                 max(embedding) FILTER (WHERE vec_id % 4 = 0) AS e0,
+                 max(embedding) FILTER (WHERE vec_id % 4 = 1) AS e1,
+                 max(embedding) FILTER (WHERE vec_id % 4 = 2) AS e2,
+                 max(embedding) FILTER (WHERE vec_id % 4 = 3) AS e3
+          FROM embeddings GROUP BY vec_id // 4 HAVING count(*) = 4
+        ),
+        p AS (
+          SELECT conv_id,
+                 list_transform(generate_series(1, len(e0)),
+                                i -> (CAST(e0[i] AS DOUBLE)
+                                      + CAST(e1[i] AS DOUBLE)
+                                      + CAST(e2[i] AS DOUBLE)
+                                      + CAST(e3[i] AS DOUBLE)) / 4) AS cemb
+          FROM ce
+        ),
+        sigs AS (
+          SELECT conv_id, {_lsh_signature_sql("cemb")} AS signature FROM p
+        ),
+        blocked AS (
+          SELECT conv_id, chunk,
+                 (signature >> (chunk * {_LSH_PREFIX_BITS})) &
+                 {(1 << _LSH_PREFIX_BITS) - 1} AS key
+          FROM sigs
+          CROSS JOIN (SELECT unnest(range({_LSH_N_PLANES // _LSH_PREFIX_BITS}))
+                      AS chunk) c
+        ),
+        cand AS (
+          SELECT DISTINCT b1.conv_id AS a, b2.conv_id AS b
+          FROM blocked b1 JOIN blocked b2
+            ON b1.chunk = b2.chunk AND b1.key = b2.key
+               AND b1.conv_id < b2.conv_id
+        )
+        SELECT c.a, c.b
+        FROM cand c
+        JOIN p pa ON pa.conv_id = c.a
+        JOIN p pb ON pb.conv_id = c.b
+        WHERE round({_cos_sql("pa.cemb", "pb.cemb")}, 6) >= 0.35
         """
 
 
@@ -4282,6 +4354,7 @@ def all_oracle_sql() -> dict[str, str]:
         "cluster_conversations": _cluster_conversations_sql(),
         "conversation_near_dup_clustered":
             _conversation_near_dup_clustered_sql(),
+        "conversation_near_dup_lsh": _conversation_near_dup_lsh_sql(),
         # Token-budget dialogue chunking: the greedy turn-atomic fold
         # replayed as a recursive CTE (one turn per conversation per step)
         "chunk_conversations_budget": r"""

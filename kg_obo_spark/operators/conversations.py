@@ -804,3 +804,64 @@ def conversation_near_dup_clustered(
         .select("a", "b", sim_e6.alias("sim_e6"))
         .filter(F.col("sim_e6") >= int(threshold * 1_000_000))
     )
+
+
+def conversation_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 16,
+    prefix_bits: int = 4,
+    max_bucket: int = 256,
+    turns_per_conv: int = TURNS_PER_CONV,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+    store=None,
+) -> DataFrame:
+    """Hyperplane-LSH-blocked semantic near-dup over POOLED conversation
+    embeddings (ROADMAP #11): the data-independent scale path beside the
+    data-dependent cluster blocking of
+    :func:`conversation_near_dup_clustered`. Output schema follows the
+    similarity family — (a, b, sim) with round-6 cosine — since blocking,
+    bucket cap, lineage, and verify are
+    :func:`~kg_obo_spark.operators.similarity.embedding_near_dup_lsh`
+    UNCHANGED, just keyed by (conv_id, cemb).
+
+    ``planes`` switches the splitmix64 numpy signatures for JVM-codegen
+    literal-plane signatures (:func:`~kg_obo_spark.operators.similarity.
+    hyperplane_signature_literal`) — with
+    :func:`~kg_obo_spark.operators.similarity.md5_sign_planes` that is the
+    engine-portable contract configuration (the emb_near_dup_lsh pattern).
+
+    Scale shape: one conv-keyed pooling exchange, then signature (map-only)
+    -> chunk-key exchange -> capped candidate join — never corpus-quadratic,
+    and unlike the clustered variant no Lloyd iterations and no degenerate-
+    distribution quadratic worst case (hot buckets are capped, with the
+    loss ledgered via ``store``)."""
+    from kg_obo_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+        hyperplane_signature_literal,
+    )
+
+    pooled = (
+        conversation_embeddings(embeddings, turns_per_conv, id_col, vec_col)
+        .filter(F.col("n_turns") == turns_per_conv)
+        .localCheckpoint()
+    )
+    sigs = (
+        hyperplane_signature_literal(pooled, planes, "conv_id", "cemb")
+        if planes is not None
+        else None
+    )
+    return embedding_near_dup_lsh(
+        pooled,
+        threshold=threshold,
+        n_planes=n_planes,
+        prefix_bits=prefix_bits,
+        id_col="conv_id",
+        vec_col="cemb",
+        max_bucket=max_bucket,
+        store=store,
+        run_id="conv_lsh",
+        signatures=sigs,
+    )

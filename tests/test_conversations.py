@@ -693,6 +693,52 @@ def test_conversation_near_dup_clustered_recall(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_conversation_near_dup_lsh_recall_and_parity(spark):
+    """ROADMAP #11: the hyperplane-LSH blocking over pooled conversation
+    embeddings is a subset of the exact pairs, keeps the planted
+    near-identical pairs (their pooled vectors share every signature bit at
+    jitter 0.02), and the literal-plane path (the contract configuration)
+    returns the same pair set as the production splitmix64 signatures —
+    blocking is approximate, the verify filter is not."""
+    import numpy as np
+
+    from kg_obo_spark.operators.conversations import (
+        conversation_near_dup,
+        conversation_near_dup_lsh,
+    )
+    from kg_obo_spark.operators.similarity import md5_sign_planes
+
+    rng = np.random.RandomState(21)
+    centers = rng.randn(2, 6) * 4
+    vecs = {}
+    for conv in range(10):
+        base = centers[conv % 2]
+        jit = 0.02 if conv in (0, 1, 2, 3) else 1.5
+        for t in range(4):
+            vecs[conv * 4 + t] = (base + jit * rng.randn(6)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {(r.a, r.b) for r in conversation_near_dup(emb, 0.9).collect()}
+    lsh_prod = {
+        (r.a, r.b)
+        for r in conversation_near_dup_lsh(emb, 0.9, n_planes=16,
+                                           prefix_bits=4).collect()
+    }
+    lsh_lit = {
+        (r.a, r.b)
+        for r in conversation_near_dup_lsh(
+            emb, 0.9, n_planes=16, prefix_bits=4,
+            planes=md5_sign_planes(16, 6),
+        ).collect()
+    }
+    assert lsh_prod <= exact and lsh_lit <= exact  # never invents a pair
+    # identical pooled vectors share every chunk — both paths keep them
+    assert {(0, 2), (1, 3)} <= lsh_prod
+    assert {(0, 2), (1, 3)} <= lsh_lit
+
+
 def test_topic_balanced_mixture_composition(spark):
     """The documented composition works end-to-end: cluster_conversations
     labels feed mixture_resample for per-topic rebalancing at CONVERSATION
