@@ -1761,6 +1761,32 @@ def q_conversation_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("a", "b")
 
 
+def q_dedup_conversations_semantic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup end-to-end keep policy: semantic near-dup PAIRS over pooled
+    conversation embeddings folded into dedup GROUPS — connected components
+    over the pair graph, survivor = component min, unpaired conversations
+    their own representative (near_dup_groups, the dedup_groups machinery
+    keyed by conv_id). Downstream keeps ``conv_id == representative`` rows:
+    pair detection becomes an actionable drop set. Oracle = the
+    conversation_near_dup pair CTE + the recursive-CTE closure."""
+    from kg_obo_spark.operators.conversations import (
+        conversation_embeddings,
+        conversation_near_dup,
+    )
+    from kg_obo_spark.operators.dedup import near_dup_groups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = conversation_near_dup(emb, threshold=0.35).select("a", "b")
+    ids = (
+        conversation_embeddings(emb)
+        .filter(F.col("n_turns") == 4)
+        .select("conv_id")
+    )
+    return near_dup_groups(pairs, ids, id_col="conv_id")
+
+
 def q_dedup_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level exact dedup: md5 fingerprint of the turn-ordered
     normalized transcript + keep-first min-conv window. Two inherent
@@ -1945,6 +1971,7 @@ _ROTATED_OUT = (
     "cluster_conversations",
     "conversation_near_dup_clustered",
     "conversation_near_dup_lsh",
+    "dedup_conversations_semantic",
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -2040,6 +2067,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_conversations": q_cluster_conversations,
         "conversation_near_dup_clustered": q_conversation_near_dup_clustered,
         "conversation_near_dup_lsh": q_conversation_near_dup_lsh,
+        "dedup_conversations_semantic": q_dedup_conversations_semantic,
         "preference_pairs": q_preference_pairs,
         "gram_familiarity": q_gram_familiarity,
         "conversation_entities": q_conversation_entities,
@@ -2558,6 +2586,47 @@ def _conversation_near_dup_lsh_sql() -> str:
         JOIN p pa ON pa.conv_id = c.a
         JOIN p pb ON pb.conv_id = c.b
         WHERE round({_cos_sql("pa.cemb", "pb.cemb")}, 6) >= 0.35
+        """
+
+
+def _dedup_conversations_semantic_sql() -> str:
+    """DuckDB mirror of q_dedup_conversations_semantic: the pooled-fold +
+    floor-e6 cosine pair CTEs from _conversation_near_dup_sql feeding the
+    dedup_groups recursive-CTE component closure (representative = min
+    reachable id), universe = complete conversations."""
+    return f"""
+        WITH RECURSIVE ce AS (
+          SELECT vec_id // 4 AS conv_id,
+                 max(embedding) FILTER (WHERE vec_id % 4 = 0) AS e0,
+                 max(embedding) FILTER (WHERE vec_id % 4 = 1) AS e1,
+                 max(embedding) FILTER (WHERE vec_id % 4 = 2) AS e2,
+                 max(embedding) FILTER (WHERE vec_id % 4 = 3) AS e3
+          FROM embeddings GROUP BY vec_id // 4 HAVING count(*) = 4
+        ),
+        p AS (
+          SELECT conv_id,
+                 list_transform(generate_series(1, len(e0)),
+                                i -> (CAST(e0[i] AS DOUBLE)
+                                      + CAST(e1[i] AS DOUBLE)
+                                      + CAST(e2[i] AS DOUBLE)
+                                      + CAST(e3[i] AS DOUBLE)) / 4) AS cemb
+          FROM ce
+        ),
+        pairs AS (
+          SELECT p1.conv_id AS a, p2.conv_id AS b
+          FROM p p1 JOIN p p2 ON p1.conv_id < p2.conv_id
+          WHERE CAST(floor(1000000.0 *
+                ({_cos_sql('p1.cemb', 'p2.cemb')})) AS BIGINT) >= 350000
+        ),
+        sym AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        reach(id, r) AS (
+          SELECT u, u FROM sym
+          UNION
+          SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.id
+        ),
+        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        SELECT p.conv_id, coalesce(c.component, p.conv_id) AS representative
+        FROM p LEFT JOIN comp c ON c.id = p.conv_id
         """
 
 
@@ -4355,6 +4424,7 @@ def all_oracle_sql() -> dict[str, str]:
         "conversation_near_dup_clustered":
             _conversation_near_dup_clustered_sql(),
         "conversation_near_dup_lsh": _conversation_near_dup_lsh_sql(),
+        "dedup_conversations_semantic": _dedup_conversations_semantic_sql(),
         # Token-budget dialogue chunking: the greedy turn-atomic fold
         # replayed as a recursive CTE (one turn per conversation per step)
         "chunk_conversations_budget": r"""
