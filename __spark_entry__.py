@@ -207,6 +207,64 @@ def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_frame(edges).select("id", "degree")
 
 
+def _doc_link_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Deterministic citation-style directed graph over documents: each doc
+    links to doc_id div 2 and doc_id div 3 (self-loops dropped inside the
+    operators). Scales with SF (unlike the 20-node term co-mention graph),
+    has realistic in-degree skew (low ids collect links), and node 0 is
+    dangling — exercising the redistribution path. Returns (edges, nodes)."""
+    docs = _t(spark, sf_dir, "documents")
+    e = docs.select(
+        F.col("doc_id").alias("src"), F.expr("doc_id div 2").alias("dst")
+    ).union(
+        docs.select(F.col("doc_id"), F.expr("doc_id div 3"))
+    )
+    return e, docs.select("doc_id")
+
+
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point PageRank (4 rounds, damping 85/100, scale 1e9)
+    over the citation graph — integer floor-div contributions and integer
+    sums make the ranks partitioning- and engine-independent, so the DuckDB
+    oracle (the same recurrence unrolled as 4 CTE stages) matches
+    bit-for-bit. Centrality over KG link structure is the 'which entities
+    matter' query the reference's per-graph stats (stats.py:230-332) stop
+    short of."""
+    from kg_obo_spark.operators.graph_algos import pagerank
+
+    e, nodes = _doc_link_graph(spark, sf_dir)
+    return pagerank(e, iterations=4, nodes=nodes).select(
+        "id", F.col("rank").alias("rank_e9")
+    )
+
+
+def q_kg_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive ancestor closure (the OBO subsumption query) over the
+    deterministic is_a forest parent(i) = i div 2: every (id, anc) pair,
+    built by repeated squaring (log2(depth) shuffle rounds). Oracle = the
+    standard recursive CTE."""
+    from kg_obo_spark.operators.graph_algos import ancestor_closure
+
+    docs = _t(spark, sf_dir, "documents")
+    e = docs.filter(F.col("doc_id") >= 1).select(
+        F.col("doc_id").alias("child"), F.expr("doc_id div 2").alias("parent")
+    )
+    return ancestor_closure(e)
+
+
+def q_kg_node_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy depth per node (count of proper ancestors; roots 0) over
+    the same is_a forest — the per-term 'how deep in the ontology' stat,
+    derived from the closure plus a universe left join."""
+    from kg_obo_spark.operators.graph_algos import node_depth
+
+    docs = _t(spark, sf_dir, "documents")
+    e = docs.filter(F.col("doc_id") >= 1).select(
+        F.col("doc_id").alias("child"), F.expr("doc_id div 2").alias("parent")
+    )
+    return node_depth(e, nodes=docs.select("doc_id"))
+
+
 def q_kg_curie_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-CURIE repair (J3/P8) on ids derived from doc rows."""
     docs = _t(spark, sf_dir, "documents")
@@ -1972,6 +2030,12 @@ _ROTATED_OUT = (
     "conversation_near_dup_clustered",
     "conversation_near_dup_lsh",
     "dedup_conversations_semantic",
+    # graph-analytics family (late r7): parked on arrival (window full),
+    # value-verified by the continuous local parity harness; r8 rotation
+    # gives them their first driver rows
+    "kg_pagerank",
+    "kg_ancestor_closure",
+    "kg_node_depth",
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -1998,6 +2062,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": q_kg_mentions,
         "kg_comention_edges": q_kg_comention_edges,
         "kg_degree": q_kg_degree,
+        "kg_pagerank": q_kg_pagerank,
+        "kg_ancestor_closure": q_kg_ancestor_closure,
+        "kg_node_depth": q_kg_node_depth,
         "kg_curie_normalize": q_kg_curie_normalize,
         "kg_id_update_map": q_kg_id_update_map,
         "cc_nation_region": q_cc_nation_region,
@@ -2630,6 +2697,70 @@ def _dedup_conversations_semantic_sql() -> str:
         """
 
 
+def _kg_pagerank_sql(
+    iterations: int = 4, scale: int = 10**9, num: int = 85, den: int = 100
+) -> str:
+    """DuckDB mirror of q_kg_pagerank: the SAME integer recurrence unrolled
+    as one (dangling, incoming, rank) CTE triple per iteration. Exact
+    arithmetic (floor-div contributions, integer sums) is what makes a
+    PageRank oracle possible at all — float sums would be order-dependent.
+    DuckDB sum(BIGINT) is HUGEINT, so every sum is cast back."""
+    base = ((den - num) * scale) // den
+    parts = [
+        f"""
+        WITH links AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+            UNION ALL
+            SELECT doc_id, doc_id // 3 FROM documents
+          ) WHERE src <> dst
+        ),
+        nodes AS (SELECT DISTINCT doc_id AS id FROM documents),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        deg AS (SELECT src, count(*) AS d FROM links GROUP BY src),
+        r0 AS (SELECT id, CAST({scale} AS BIGINT) AS pr FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+        d{i} AS (
+          SELECT CAST(coalesce(sum(r.pr), 0) AS BIGINT) // (SELECT n FROM nn)
+                 AS dshare
+          FROM r{i - 1} r LEFT JOIN deg ON deg.src = r.id
+          WHERE deg.src IS NULL
+        ),
+        i{i} AS (
+          SELECT l.dst AS id, CAST(sum(r.pr // deg.d) AS BIGINT) AS inc
+          FROM links l JOIN r{i - 1} r ON r.id = l.src
+          JOIN deg ON deg.src = l.src
+          GROUP BY l.dst
+        ),
+        r{i} AS (
+          SELECT n.id,
+                 CAST({base} AS BIGINT)
+                   + ({num} * (coalesce(x.inc, CAST(0 AS BIGINT))
+                               + (SELECT dshare FROM d{i}))) // {den} AS pr
+          FROM nodes n LEFT JOIN i{i} x ON x.id = n.id
+        )"""
+        )
+    parts.append(
+        f"\n        SELECT r.id, r.pr AS rank_e9 FROM r{iterations} r"
+    )
+    return "".join(parts)
+
+
+_KG_CLOSURE_CTE = """
+WITH RECURSIVE e AS (
+  SELECT doc_id AS id, doc_id // 2 AS par FROM documents WHERE doc_id >= 1
+),
+cl(id, anc) AS (
+  SELECT id, par FROM e
+  UNION
+  SELECT a.id, e2.par FROM cl a JOIN e e2 ON e2.id = a.anc
+)
+"""
+
+
 def _pii_oracle_sql() -> str:
     """DuckDB mirror of q_text_pii_scrub, generated from the SAME
     PII_PATTERNS dict the Spark scrubber uses (one source of truth): counts
@@ -2905,6 +3036,17 @@ def all_oracle_sql() -> dict[str, str]:
           SELECT a AS id FROM edges UNION ALL SELECT b AS id FROM edges
         )
         SELECT id, count(*) AS degree FROM endpoints GROUP BY id
+        """,
+        # exact fixed-point PageRank: the integer recurrence unrolled
+        "kg_pagerank": _kg_pagerank_sql(),
+        # transitive ancestor closure / hierarchy depth over the is_a forest
+        "kg_ancestor_closure": _KG_CLOSURE_CTE + "SELECT id, anc FROM cl",
+        "kg_node_depth": _KG_CLOSURE_CTE
+        + """,
+        d AS (SELECT id, count(*) AS depth FROM cl GROUP BY id)
+        SELECT n.id, CAST(coalesce(d.depth, 0) AS BIGINT) AS depth
+        FROM (SELECT DISTINCT doc_id AS id FROM documents) n
+        LEFT JOIN d ON d.id = n.id
         """,
         "kg_curie_normalize": """
         WITH raw AS (

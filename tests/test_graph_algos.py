@@ -1,0 +1,133 @@
+"""Iterative graph analytics: exact fixed-point PageRank + ancestor closure.
+
+Both are pinned against slow pure-Python replays of the same integer
+recurrences (the engine result must be BIT-identical — exactness is the
+operators' contract) and against structural invariants (mass monotonicity,
+partitioning independence, log-round squaring).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kg_obo_spark.operators.graph_algos import (
+    ancestor_closure,
+    node_depth,
+    pagerank,
+)
+
+
+def py_pagerank(edges, n_iter, num=85, den=100, scale=10**9, extra_nodes=()):
+    """Reference replay of the integer recurrence (dict-based, sequential)."""
+    e = sorted({(s, d) for s, d in edges if s != d})
+    nodes = {s for s, _ in e} | {d for _, d in e} | set(extra_nodes)
+    out = {}
+    for s, _ in e:
+        out[s] = out.get(s, 0) + 1
+    base = ((den - num) * scale) // den
+    rank = {v: scale for v in nodes}
+    for _ in range(n_iter):
+        dang = sum(r for v, r in rank.items() if v not in out) // len(nodes)
+        inc = {v: 0 for v in nodes}
+        for s, d in e:
+            inc[d] += rank[s] // out[s]
+        rank = {v: base + (num * (inc[v] + dang)) // den for v in nodes}
+    return rank
+
+
+def py_closure(edges):
+    e = {(s, d) for s, d in edges if s != d}
+    closure = set(e)
+    while True:
+        step = {(a, d) for a, b in closure for c, d in e if b == c}
+        new = closure | step
+        if new == closure:
+            return closure
+        closure = new
+
+
+GRAPH = [
+    # two hubs, a chain, a dangling sink, a duplicate edge and a self-loop
+    (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 4), (6, 4), (7, 1),
+    (3, 8), (8, 8), (1, 2),
+]
+
+
+def test_pagerank_matches_python_replay(spark):
+    df = spark.createDataFrame(GRAPH, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(df, iterations=4).collect()}
+    assert got == py_pagerank(GRAPH, 4)
+
+
+def test_pagerank_partitioning_independent(spark):
+    df = spark.createDataFrame(GRAPH, "src long, dst long")
+    a = {r.id: r.rank for r in pagerank(df, iterations=3).collect()}
+    b = {
+        r.id: r.rank
+        for r in pagerank(df.repartition(7, "dst"), iterations=3).collect()
+    }
+    assert a == b
+
+
+def test_pagerank_isolated_nodes_and_mass(spark):
+    df = spark.createDataFrame(GRAPH, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 12)], "id long")
+    got = {r.id: r.rank for r in pagerank(df, iterations=2, nodes=nodes).collect()}
+    assert set(got) == set(range(1, 12))
+    assert got == py_pagerank(GRAPH, 2, extra_nodes=range(1, 12))
+    # floor-div rounding only ever loses mass: total <= n * scale
+    assert sum(got.values()) <= 11 * 10**9
+
+
+def test_pagerank_hub_outranks_leaf(spark):
+    df = spark.createDataFrame(GRAPH, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(df, iterations=4).collect()}
+    assert got[3] > got[5]  # 3 has in-links from 1,2,4; 5 has none
+
+
+def test_ancestor_closure_binary_tree(spark):
+    edges = [(i, i // 2) for i in range(1, 32)]
+    df = spark.createDataFrame(edges, "child long, parent long")
+    got = {(r.id, r.anc) for r in ancestor_closure(df).collect()}
+    assert got == py_closure(edges)
+
+
+def test_ancestor_closure_squaring_is_logarithmic(spark):
+    # a depth-16 chain: frontier iteration would need 16 rounds; squaring
+    # doubles reachable depth per round -> converge+confirm well under 8
+    edges = [(i, i - 1) for i in range(1, 17)]
+    df = spark.createDataFrame(edges, "child long, parent long")
+    closure, rounds = ancestor_closure(df, return_iterations=True)
+    assert {(r.id, r.anc) for r in closure.collect()} == py_closure(edges)
+    assert rounds <= 6
+
+
+def test_ancestor_closure_dag_multiple_parents(spark):
+    edges = [(3, 1), (3, 2), (4, 3), (5, 3), (2, 1)]
+    df = spark.createDataFrame(edges, "child long, parent long")
+    got = {(r.id, r.anc) for r in ancestor_closure(df).collect()}
+    assert got == py_closure(edges)
+    assert (4, 1) in got and (5, 2) in got
+
+
+def test_node_depth_roots_and_leaves(spark):
+    edges = [(i, i // 2) for i in range(1, 16)]
+    df = spark.createDataFrame(edges, "child long, parent long")
+    got = {r.id: r.depth for r in node_depth(df).collect()}
+    ref = {}
+    for i in range(16):
+        d, j = 0, i
+        while j > 0:
+            j //= 2
+            d += 1
+        ref[i] = d
+    assert got == ref
+    assert got[0] == 0  # root
+
+
+def test_pagerank_plan_has_no_cartesian_blowup(spark):
+    # the dangling/n-count folds are one-row cross joins (broadcast);
+    # the plan must not contain a non-broadcast cartesian product
+    df = spark.createDataFrame(GRAPH, "src long, dst long")
+    out = pagerank(df, iterations=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
