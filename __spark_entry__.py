@@ -265,6 +265,23 @@ def q_kg_node_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return node_depth(e, nodes=docs.select("doc_id"))
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistic BPE tokenizer training is built from: adjacent
+    character-pair counts weighted by corpus word frequency (merge round 0
+    of learn_bpe — the full learner is a driver loop of exactly this agg
+    plus a map-only merge stage, pytest-pinned vs a sequential replay in
+    tests/test_bpe.py). ONE corpus exchange (hash(word), map-side
+    combined); everything after runs on the distinct-word table."""
+    from kg_obo_spark.functions.bpe import (
+        char_symbols,
+        pair_counts,
+        word_frequencies,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return pair_counts(char_symbols(word_frequencies(docs)))
+
+
 def q_kg_curie_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-CURIE repair (J3/P8) on ids derived from doc rows."""
     docs = _t(spark, sf_dir, "documents")
@@ -2036,6 +2053,7 @@ _ROTATED_OUT = (
     "kg_pagerank",
     "kg_ancestor_closure",
     "kg_node_depth",
+    "bpe_pair_counts",
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -2065,6 +2083,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "kg_ancestor_closure": q_kg_ancestor_closure,
         "kg_node_depth": q_kg_node_depth,
+        "bpe_pair_counts": q_bpe_pair_counts,
         "kg_curie_normalize": q_kg_curie_normalize,
         "kg_id_update_map": q_kg_id_update_map,
         "cc_nation_region": q_cc_nation_region,
@@ -3047,6 +3066,25 @@ def all_oracle_sql() -> dict[str, str]:
         SELECT n.id, CAST(coalesce(d.depth, 0) AS BIGINT) AS depth
         FROM (SELECT DISTINCT doc_id AS id FROM documents) n
         LEFT JOIN d ON d.id = n.id
+        """,
+        # BPE merge round 0: word-frequency-weighted adjacent char pairs
+        "bpe_pair_counts": r"""
+        WITH wf AS (
+          SELECT word, count(*) AS freq
+          FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                          w -> w <> '')) AS word
+                FROM documents)
+          GROUP BY word
+        ),
+        p AS (
+          SELECT substr(word, CAST(i AS INTEGER), 1) AS a,
+                 substr(word, CAST(i AS INTEGER) + 1, 1) AS b,
+                 freq
+          FROM (SELECT word, freq,
+                       unnest(generate_series(1, len(word) - 1)) AS i
+                FROM wf)
+        )
+        SELECT a, b, CAST(sum(freq) AS BIGINT) AS n FROM p GROUP BY a, b
         """,
         "kg_curie_normalize": """
         WITH raw AS (
