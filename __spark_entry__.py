@@ -265,6 +265,17 @@ def q_kg_node_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return node_depth(e, nodes=docs.select("doc_id"))
 
 
+def q_kg_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (the KG cohesion stat) over the citation
+    graph taken as undirected. Degree-ordered orientation caps wedge
+    fan-out at O(sqrt(m)) per node; oracle = canonical a<b<c three-way
+    self-join."""
+    from kg_obo_spark.operators.graph_algos import triangle_counts
+
+    e, nodes = _doc_link_graph(spark, sf_dir)
+    return triangle_counts(e, nodes=nodes)
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The statistic BPE tokenizer training is built from: adjacent
     character-pair counts weighted by corpus word frequency (merge round 0
@@ -896,6 +907,37 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     w = {"de": 1, "en": 2, "es": 1, "fr": 1, "zh": 1}
     return mixture_resample(d, "doc_id", "lang", w).select("doc_id", "lang")
+
+
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resampling (sqrt temperature, alpha=1/2 —
+    the mBERT/XLM-R multilingual sampling rule): stratum shares become
+    proportional to n^0.5, upweighting tail languages relative to their raw
+    share. Weights are exact integer square roots, rates the exact-integer
+    mixture derivation — kept set bit-identical cross-engine (DuckDB
+    floor(sqrt(double)) == Python isqrt for corpus-scale counts)."""
+    from kg_obo_spark.operators.sampling import temperature_resample
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_resample(d, "doc_id", "lang", alpha=(1, 2)).select(
+        "doc_id", "lang"
+    )
+
+
+def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality filtering (FineWeb/DCLM style): keep each document with
+    probability proportional to its per-row quality score instead of a hard
+    threshold — deterministically, bucket(md5(id)) < score_bp. Score here is
+    the length proxy least(9999, 20*n_chars); any 0..10000 score column
+    plugs in. Pure codegen scan-filter, zero shuffle."""
+    from kg_obo_spark.operators.sampling import quality_weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.least(F.lit(9999), F.col("n_chars") * 20).alias("score_bp"),
+    )
+    return quality_weighted_sample(d, "doc_id", "score_bp")
 
 
 def q_sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2053,7 +2095,10 @@ _ROTATED_OUT = (
     "kg_pagerank",
     "kg_ancestor_closure",
     "kg_node_depth",
+    "kg_triangle_counts",
     "bpe_pair_counts",
+    "mixture_temperature",
+    "sample_quality_weighted",
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
     # family already holds two driver slots (HLL, KMV)
 )
@@ -2083,6 +2128,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "kg_ancestor_closure": q_kg_ancestor_closure,
         "kg_node_depth": q_kg_node_depth,
+        "kg_triangle_counts": q_kg_triangle_counts,
         "bpe_pair_counts": q_bpe_pair_counts,
         "kg_curie_normalize": q_kg_curie_normalize,
         "kg_id_update_map": q_kg_id_update_map,
@@ -2135,6 +2181,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "chunk_documents_bpe": q_chunk_documents_bpe,
         "mixture_resample": q_mixture_resample,
+        "mixture_temperature": q_mixture_temperature,
+        "sample_quality_weighted": q_sample_quality_weighted,
         # transcript analytics (r7): the north-star payload's training-data
         # layer beyond KG construction
         "sft_examples": q_sft_examples,
@@ -3067,6 +3115,33 @@ def all_oracle_sql() -> dict[str, str]:
         FROM (SELECT DISTINCT doc_id AS id FROM documents) n
         LEFT JOIN d ON d.id = n.id
         """,
+        # per-node triangle counts: canonical a<b<c three-way self-join
+        "kg_triangle_counts": """
+        WITH raw AS (
+          SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+          UNION ALL
+          SELECT doc_id, doc_id // 3 FROM documents
+        ),
+        e AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM raw WHERE src <> dst
+        ),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e2.a = e1.b
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        m AS (
+          SELECT x AS id FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri
+        ),
+        c AS (SELECT id, count(*) AS n_tri FROM m GROUP BY id)
+        SELECT d.doc_id AS id, CAST(coalesce(c.n_tri, 0) AS BIGINT) AS n_tri
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN c ON c.id = d.doc_id
+        """,
         # BPE merge round 0: word-frequency-weighted adjacent char pairs
         "bpe_pair_counts": r"""
         WITH wf AS (
@@ -3631,6 +3706,45 @@ def all_oracle_sql() -> dict[str, str]:
         FROM documents d JOIN r ON d.lang = r.s
         WHERE CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
                    AS BIGINT) % 10000 < r.rate_bp
+        """,
+        # sqrt-temperature mixture: weights = floor(sqrt(n)) per stratum,
+        # then the same exact-integer anchor/rate derivation
+        "mixture_temperature": r"""
+        WITH c AS (SELECT lang AS s, count(*) AS n FROM documents GROUP BY 1),
+        j AS (
+          SELECT s, n,
+                 greatest(1, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT))
+                 AS wt
+          FROM c
+        ),
+        a AS (
+          SELECT s, n, wt FROM j x
+          WHERE NOT EXISTS (
+            SELECT 1 FROM j y
+            WHERE y.wt * x.n > x.wt * y.n
+               OR (y.wt * x.n = x.wt * y.n AND y.s < x.s)
+          )
+        ),
+        r AS (
+          SELECT j.s, greatest(1, (10000 * j.wt * a.n) // (j.n * a.wt))
+                 AS rate_bp
+          FROM j, a
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN r ON d.lang = r.s
+        WHERE CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 10000 < r.rate_bp
+        """,
+        # soft quality filter: keep iff bucket(md5(id)) < the row's OWN score
+        "sample_quality_weighted": r"""
+        WITH s AS (
+          SELECT doc_id, n_chars,
+                 least(9999, n_chars * 20) AS score_bp
+          FROM documents
+        )
+        SELECT doc_id, n_chars, score_bp FROM s
+        WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 10000 < score_bp
         """,
         "sample_hash_mod": r"""
         SELECT doc_id,

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "ancestor_closure", "node_depth"]
+__all__ = ["pagerank", "ancestor_closure", "node_depth", "triangle_counts"]
 
 
 def pagerank(
@@ -175,6 +175,89 @@ def ancestor_closure(
     if return_iterations:
         return c, n_rounds
     return c
+
+
+def triangle_counts(
+    edges: DataFrame, nodes: DataFrame | None = None
+) -> DataFrame:
+    """Exact per-node triangle counts ``(id, n_tri)`` of an undirected
+    graph — the clustering/cohesion statistic of KG quality reports.
+
+    The naive wedge join (every 2-path, then check the closing edge) emits
+    ``Σ deg(v)²`` wedges — quadratic in hot-node degree, fatal on skewed
+    graphs. This uses the standard DEGREE-ORDERED ORIENTATION
+    (compact-forward): orient each edge from its (degree, id)-smaller
+    endpoint to the larger, which caps every node's out-degree at
+    O(√m), so the wedge join emits near-linear output and each triangle
+    is generated exactly once (at its unique source whose oriented
+    out-edges reach the other two). The closing check is an inner join on
+    the canonical (min, max) edge key — no driver-side work anywhere.
+    Counts are exact integers; the DuckDB oracle is the canonical a<b<c
+    three-way self-join.
+    """
+    src, dst = edges.columns[:2]
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient by (degree, id): from smaller to larger endpoint
+    du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select("e.s", "e.t")
+        .localCheckpoint()
+    )
+    wedges = (
+        oriented.alias("l")
+        .join(oriented.alias("r"), F.col("l.s") == F.col("r.s"))
+        .filter(F.col("l.t") < F.col("r.t"))
+        .select(
+            F.col("l.s").alias("a"),
+            F.col("l.t").alias("b"),
+            F.col("r.t").alias("c"),
+        )
+    )
+    tri = wedges.join(
+        und,
+        (F.least("b", "c") == F.col("u")) & (F.greatest("b", "c") == F.col("v")),
+    ).select("a", "b", "c")
+    members = tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+    counts = members.groupBy("id").agg(F.count("*").alias("n_tri"))
+    universe = und.select(F.col("u").alias("id")).union(
+        und.select(F.col("v").alias("id"))
+    )
+    if nodes is not None:
+        universe = universe.union(
+            nodes.select(F.col(nodes.columns[0]).alias("id"))
+        )
+    return (
+        universe.distinct()
+        .join(counts, "id", "left")
+        .select(
+            "id", F.coalesce("n_tri", F.lit(0).cast("long")).alias("n_tri")
+        )
+    )
 
 
 def node_depth(edges: DataFrame, nodes: DataFrame | None = None) -> DataFrame:

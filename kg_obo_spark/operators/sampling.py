@@ -117,6 +117,15 @@ def mixture_sample_rates(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    return _rates_from_counts(counts, weights)
+
+
+def _rates_from_counts(
+    counts: dict[str, int], weights: dict[str, int]
+) -> dict[str, int]:
+    """The exact-integer rate derivation shared by the weighted and
+    temperature mixture paths: anchor = argmax w/n by cross-multiplication,
+    every stratum thinned to match it."""
     if not counts:
         return {}
     # anchor = argmax of w/n, exact: a beats b iff w_a * n_b > w_b * n_a
@@ -134,6 +143,73 @@ def mixture_sample_rates(
         s: max(1, (SAMPLE_MOD * weights[s] * counts[a]) // (n * weights[a]))
         for s, n in counts.items()
     }
+
+
+def integer_root(x: int, k: int) -> int:
+    """Exact ``floor(x ** (1/k))`` in integer arithmetic (no float error at
+    any magnitude — a float seed is corrected by exact integer checks)."""
+    if x < 0 or k <= 0:
+        raise ValueError(f"integer_root needs x >= 0, k >= 1; got {x}, {k}")
+    if x == 0:
+        return 0
+    r = max(1, int(round(x ** (1.0 / k))))
+    while r > 1 and r**k > x:
+        r -= 1
+    while (r + 1) ** k <= x:
+        r += 1
+    return r
+
+
+def temperature_mixture_weights(
+    counts: dict[str, int], alpha: tuple[int, int] = (1, 2)
+) -> dict[str, int]:
+    """Temperature-scaled mixture weights ``w_s = floor(n_s ** alpha)`` with
+    ``alpha = num/den`` as an exact rational (the multilingual-sampling rule
+    of mBERT/XLM-R: alpha < 1 upweights tail domains relative to their raw
+    share). Exact integer k-th roots keep the weights — and everything
+    derived from them — engine- and rerun-identical; every nonempty stratum
+    gets weight >= 1."""
+    num, den = alpha
+    if num <= 0 or den <= 0:
+        raise ValueError(f"alpha must be a positive rational, got {alpha}")
+    return {s: max(1, integer_root(n**num, den)) for s, n in counts.items()}
+
+
+def temperature_resample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    alpha: tuple[int, int] = (1, 2),
+) -> DataFrame:
+    """Deterministically resample toward the TEMPERATURE mixture: stratum
+    shares ∝ n_s^alpha instead of caller-specified targets — the standard
+    tail-domain upweighting (alpha=(1,2) = square-root temperature). The
+    scarcest-per-weight stratum is kept whole, all others thinned; same
+    one-aggregation + codegen-filter shape as :func:`mixture_resample`
+    (the collect is #strata rows)."""
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rates = _rates_from_counts(
+        counts, temperature_mixture_weights(counts, alpha)
+    )
+    return hash_mod_sample_by(df, key_col, strata_col, rates, default_bp=0)
+
+
+def quality_weighted_sample(
+    df: DataFrame, key_col: str, score_bp_col: str
+) -> DataFrame:
+    """Soft quality filtering: keep each row with probability
+    ``score_bp / SAMPLE_MOD`` — deterministically, by comparing the row's
+    hash bucket against its OWN per-row score (0..SAMPLE_MOD basis points).
+    The FineWeb/DCLM-style alternative to a hard threshold: borderline
+    documents survive in proportion to their quality instead of dying at a
+    cliff, and the kept set is still engine/partitioning/rerun-identical
+    and SQL-oracle-able. Pure codegen projection + filter, zero shuffle."""
+    return df.filter(sample_bucket(F.col(key_col)) < F.col(score_bp_col))
 
 
 def mixture_resample(

@@ -131,3 +131,43 @@ def test_pagerank_plan_has_no_cartesian_blowup(spark):
     out = pagerank(df, iterations=1)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def py_triangles(edges):
+    e = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = {x for p in e for x in p}
+    cnt = {v: 0 for v in nodes}
+    es = sorted(e)
+    for i, (a, b) in enumerate(es):
+        for (c, d) in es[i + 1:]:
+            if c == a and (min(b, d), max(b, d)) in e:
+                for v in (a, b, d):
+                    cnt[v] += 1
+    return cnt
+
+
+def test_triangle_counts_known_graph(spark):
+    from kg_obo_spark.operators.graph_algos import triangle_counts
+
+    # K4 on {1..4} (4 triangles, each node in 3) plus a pendant and a square
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5),
+        (6, 7), (7, 8), (8, 9), (9, 6),
+    ]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.id: r.n_tri for r in triangle_counts(df).collect()}
+    assert got == py_triangles(edges)
+    assert got[1] == 3 and got[5] == 0 and got[6] == 0
+
+
+def test_triangle_counts_skew_and_duplicates(spark):
+    from kg_obo_spark.operators.graph_algos import triangle_counts
+
+    # hub star + fan triangles, with duplicate/reversed/self edges thrown in
+    edges = [(0, i) for i in range(1, 20)]
+    edges += [(i, i + 1) for i in range(1, 19)]
+    edges += [(5, 0), (0, 5), (7, 7), (3, 4)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.id: r.n_tri for r in triangle_counts(df.repartition(7)).collect()}
+    assert got == py_triangles(edges)

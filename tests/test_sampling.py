@@ -244,3 +244,76 @@ def test_mixture_weights_validated(spark):
         mixture_sample_rates(df, "lang", {"en": -3})
     # no weighted stratum present in the data -> empty rates
     assert mixture_sample_rates(df, "lang", {"fr": 1}) == {}
+
+
+def test_integer_root_exact_everywhere():
+    import math
+
+    from kg_obo_spark.operators.sampling import integer_root
+
+    for x in list(range(0, 200)) + [10**12, 10**12 + 1, (2**26) ** 2 - 1,
+                                    (2**26) ** 2, 2**60]:
+        assert integer_root(x, 2) == math.isqrt(x), x
+    assert integer_root(26, 3) == 2 and integer_root(27, 3) == 3
+    assert integer_root(7**15, 5) == 7**3
+    # the float-seed correction: a value where round(x**(1/k)) overshoots
+    assert integer_root((10**8 + 1) ** 2 - 1, 2) == 10**8
+
+
+def test_temperature_weights_sqrt_rule():
+    from kg_obo_spark.operators.sampling import temperature_mixture_weights
+
+    w = temperature_mixture_weights({"en": 10000, "fr": 100, "zh": 1})
+    assert w == {"en": 100, "fr": 10, "zh": 1}
+    # alpha = 1 reproduces raw counts (no reweighting)
+    assert temperature_mixture_weights({"en": 7, "fr": 3}, (1, 1)) == {
+        "en": 7,
+        "fr": 3,
+    }
+
+
+def test_temperature_resample_flattens_toward_sqrt(spark):
+    from kg_obo_spark.operators.sampling import (
+        SAMPLE_MOD,
+        _rates_from_counts,
+        temperature_mixture_weights,
+        temperature_resample,
+    )
+
+    rows = [("en", i) for i in range(6400)] + [("zh", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    kept = temperature_resample(df, "doc_id", "lang", alpha=(1, 2)).groupBy(
+        "lang"
+    ).count()
+    got = {r.lang: r["count"] for r in kept.collect()}
+    # sqrt temperature: weights 80 vs 10 -> zh (scarcest per weight) whole,
+    # en thinned to n_zh * w_en / w_zh = 800 in expectation
+    assert got["zh"] == 100
+    counts = {"en": 6400, "zh": 100}
+    rates = _rates_from_counts(
+        counts, temperature_mixture_weights(counts, (1, 2))
+    )
+    assert rates == {"zh": SAMPLE_MOD, "en": (SAMPLE_MOD * 80 * 100) // (6400 * 10)}
+    # hash-mod keeps ~rate fraction (exact set is pinned by the oracle row)
+    assert abs(got["en"] - 800) < 200
+
+
+def test_quality_weighted_sample_is_score_proportional(spark):
+    from pyspark.sql import functions as F
+
+    from kg_obo_spark.operators.sampling import (
+        quality_weighted_sample,
+        sample_bucket,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i % 3) * 5000) for i in range(3000)], "doc_id long, score_bp long"
+    )
+    kept = quality_weighted_sample(df, "doc_id", "score_bp")
+    got = kept.groupBy("score_bp").count().collect()
+    by_score = {r.score_bp: r["count"] for r in got}
+    assert 0 not in by_score  # score 0 -> kept with probability 0
+    assert abs(by_score[5000] - 500) < 120  # ~half of 1000
+    # exact membership rule: bucket < score
+    ref = df.filter(sample_bucket(F.col("doc_id")) < F.col("score_bp"))
+    assert kept.exceptAll(ref).count() == 0 and ref.exceptAll(kept).count() == 0
