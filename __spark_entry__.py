@@ -276,6 +276,19 @@ def q_kg_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(e, nodes=nodes)
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: exact fixed-point BM25 top-25 for a three-term
+    query — rational k1=6/5, b=3/4 cleared of fractions, linear-rational
+    idf, per-(doc,term) integer floor-div contributions summed per doc;
+    deterministic (score DESC, id) order so the top-k SET is engine-exact.
+    ONE hash(id) exchange carries tf, dl, the join, and the doc sum
+    (subset rule); the global top-k is a TakeOrderedAndProject."""
+    from kg_obo_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["fast", "scan", "table"], k=25)
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The statistic BPE tokenizer training is built from: adjacent
     character-pair counts weighted by corpus word frequency (merge round 0
@@ -2097,6 +2110,7 @@ _ROTATED_OUT = (
     "kg_node_depth",
     "kg_triangle_counts",
     "bpe_pair_counts",
+    "bm25_topk",
     "mixture_temperature",
     "sample_quality_weighted",
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
@@ -2130,6 +2144,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node_depth": q_kg_node_depth,
         "kg_triangle_counts": q_kg_triangle_counts,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "bm25_topk": q_bm25_topk,
         "kg_curie_normalize": q_kg_curie_normalize,
         "kg_id_update_map": q_kg_id_update_map,
         "cc_nation_region": q_cc_nation_region,
@@ -3141,6 +3156,36 @@ def all_oracle_sql() -> dict[str, str]:
         SELECT d.doc_id AS id, CAST(coalesce(c.n_tri, 0) AS BIGINT) AS n_tri
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN c ON c.id = d.doc_id
+        """,
+        # exact fixed-point BM25: constants 44/20/6/18 are the cleared
+        # fractions of k1=6/5, b=3/4 (see operators/retrieval.py)
+        "bm25_topk": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    w -> w <> '')) AS tok
+          FROM documents
+        ),
+        q(term) AS (VALUES ('fast'), ('scan'), ('table')),
+        st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                      (SELECT count(*) FROM toks) AS t),
+        g AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+               FROM g GROUP BY 1),
+        dfr AS (SELECT tok AS term, count(*) AS df
+                FROM g JOIN q ON g.tok = q.term GROUP BY 1),
+        idf AS (SELECT term, (1000 * (st.n - df + 1)) // (df + 1) AS idf_fp
+                FROM dfr, st),
+        contrib AS (
+          SELECT g.doc_id,
+                 (i.idf_fp * (44 * st.t * g.tf)) //
+                 (20 * st.t * g.tf + 6 * st.t + 18 * dl.dl * st.n) AS c
+          FROM g JOIN idf i ON g.tok = i.term
+          JOIN dl USING (doc_id), st
+        )
+        SELECT doc_id AS id, CAST(sum(c) AS BIGINT) AS score_fp
+        FROM contrib GROUP BY doc_id
+        ORDER BY score_fp DESC, id LIMIT 25
         """,
         # BPE merge round 0: word-frequency-weighted adjacent char pairs
         "bpe_pair_counts": r"""

@@ -1,0 +1,148 @@
+"""Lexical retrieval scoring — BM25 top-k in EXACT fixed-point arithmetic.
+
+A training-data pipeline retrieves constantly: picking RAG contexts,
+mining hard negatives, pulling topical slices out of a 100 TB corpus.
+The standard lexical scorer is BM25; this module implements the
+engine-wide exact-arithmetic variant so rankings (including ties) are
+bit-identical across engines, partitionings, and reruns:
+
+- **idf** is the linear-rational Robertson form without the log,
+  ``idf_fp = (idf_scale * (N - df + 1)) // (df + 1)`` — the same
+  monotone-in-df ordering, exact integers (the ``top_terms_tfidf``
+  linear-idf precedent).
+- **tf saturation** keeps real BM25 shape with rational ``k1 = p/q``,
+  ``b = r/s``: the classic term
+  ``tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))`` with ``avgdl = T/N`` is
+  cleared of fractions by multiplying through by ``q*s*T``::
+
+      contrib = (idf_fp * s*(p+q)*T*tf) // (q*s*T*tf + p*(s-r)*T + p*r*dl*N)
+
+  — one integer floor-division per (doc, term) (idf multiplied into the
+  numerator BEFORE the division, so the fixed-point scale carries the
+  saturation fraction's resolution), summed per doc. Floor-then-sum is
+  the defined semantics on both engines.
+
+100 TB shape: corpus statistics (N, T, per-term df) are one bounded pass
+(collect = |query| + 2 scalars; on a real deployment they come from table
+metadata or maintained term-stat tables). The scoring pass clusters the
+token stream by document ONCE — ``repartition(id)`` then (doc, term)
+counts, doc lengths, the tf join, and the per-doc score sum ALL ride that
+single hash(id) exchange via the subset rule — and the global top-k is a
+TakeOrderedAndProject, never a full sort.
+
+Overflow: ``idf_fp * numer`` must fit int64 — ``idf_scale`` defaults to
+1e3; keep ``idf_scale * N * (s*(p+q)) * T * max_tf < 2^63`` (drop the
+scale for web-scale N).
+
+Reference analog: none — this extends the engine's LLM-training-data
+retrieval family (the reference processes ontologies, not corpora).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kg_obo_spark.functions.text import tokens
+
+__all__ = ["bm25_scores", "bm25_topk"]
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: tuple[int, int] = (6, 5),
+    b: tuple[int, int] = (3, 4),
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """``(id_col, score_fp)`` for every document matching >= 1 query term.
+
+    ``k1`` and ``b`` are exact rationals (defaults 6/5 = 1.2 and 3/4 =
+    0.75, the textbook BM25 constants). See the module docstring for the
+    integer recurrence and the one-exchange plan shape.
+    """
+    if not query_terms or len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be non-empty and distinct")
+    p, q = k1
+    r, s = b
+    if p <= 0 or q <= 0 or r < 0 or s <= 0 or r > s:
+        raise ValueError(f"k1={k1} must be positive, b={b} must be in [0,1]")
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    # bounded stats pass: N, T scalars + |query| df rows (at deployment
+    # scale these come from table metadata / maintained term-stat tables)
+    n_docs = df.count()
+    t_total = toks.count()
+    df_rows = (
+        toks.filter(F.col("tok").isin(query_terms))
+        .groupBy("tok")
+        .agg(F.countDistinct("id").alias("df"))
+        .collect()
+    )
+    idf = {
+        row["tok"]: (idf_scale * (n_docs - row["df"] + 1)) // (row["df"] + 1)
+        for row in df_rows
+    }
+    if not idf:
+        return df.select(
+            F.col(id_col).alias("id"), F.lit(0).cast("long").alias("score_fp")
+        ).limit(0)
+    idf_col = F.lit(0).cast("long")
+    for term in sorted(idf):
+        idf_col = F.when(F.col("tok") == F.lit(term), F.lit(idf[term])).otherwise(
+            idf_col
+        )
+
+    # scoring pass: ONE hash(id) exchange carries everything downstream
+    g = (
+        toks.repartition("id")
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()  # fans into dl and tfq below within one job
+    )
+    dl = g.groupBy("id").agg(F.sum("tf").alias("dl"))
+    tfq = g.filter(F.col("tok").isin(query_terms))
+    numer_n = s * (p + q)
+    a_c, b_c, c_c = q * s, p * (s - r), p * r
+    contrib = (
+        tfq.join(dl, "id")
+        .select(
+            "id",
+            (
+                (idf_col * F.expr(f"CAST({numer_n} AS BIGINT) * {t_total} * tf"))
+                .cast("long")
+                .alias("_num")
+            ),
+            F.expr(
+                f"CAST({a_c} AS BIGINT) * {t_total} * tf"
+                f" + CAST({b_c} AS BIGINT) * {t_total}"
+                f" + CAST({c_c} AS BIGINT) * dl * {n_docs}"
+            ).alias("_den"),
+        )
+        .select(
+            "id",
+            F.expr("_num div _den").alias("c"),
+        )
+    )
+    return contrib.groupBy("id").agg(F.sum("c").alias("score_fp"))
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Global top-``k`` by (score DESC, id ASC) — deterministic ties, and
+    the limit pushes into a TakeOrderedAndProject (no full sort)."""
+    return (
+        bm25_scores(df, query_terms, id_col=id_col, text_col=text_col, **kwargs)
+        .orderBy(F.desc("score_fp"), "id")
+        .limit(k)
+    )

@@ -1,0 +1,96 @@
+"""BM25 fixed-point scoring pinned against a sequential Python replay."""
+
+import pytest
+
+from kg_obo_spark.functions.text import py_tokens
+from kg_obo_spark.operators.retrieval import bm25_scores, bm25_topk
+
+
+def py_bm25(rows, terms, k1=(6, 5), b=(3, 4), idf_scale=1000):
+    p, q = k1
+    r, s = b
+    toks = {i: py_tokens(t) for i, t in rows}
+    n = len(rows)
+    t_total = sum(len(v) for v in toks.values())
+    idf = {}
+    for term in terms:
+        df_t = sum(1 for v in toks.values() if term in v)
+        if df_t:
+            idf[term] = (idf_scale * (n - df_t + 1)) // (df_t + 1)
+    out = {}
+    for i, v in toks.items():
+        score = 0
+        for term in terms:
+            tf = v.count(term)
+            if tf and term in idf:
+                num = idf[term] * s * (p + q) * t_total * tf
+                den = q * s * t_total * tf + p * (s - r) * t_total + p * r * len(v) * n
+                score += num // den
+        if any(term in v for term in terms):
+            out[i] = score
+    return out
+
+
+ROWS = [
+    (0, "fast table scan the fast way"),
+    (1, "slow scan of a big table"),
+    (2, "fast fast fast"),
+    (3, "nothing relevant here"),
+    (4, ""),
+    (5, "table"),
+]
+
+
+def test_bm25_matches_python_replay(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    got = {
+        r.id: r.score_fp
+        for r in bm25_scores(df, ["fast", "table", "scan"]).collect()
+    }
+    assert got == py_bm25(ROWS, ["fast", "table", "scan"])
+    assert 3 not in got and 4 not in got  # no matching term -> no row
+
+
+def test_bm25_partitioning_independent(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    a = sorted(bm25_scores(df, ["fast", "table"]).collect())
+    bb = sorted(bm25_scores(df.repartition(7), ["fast", "table"]).collect())
+    assert a == bb
+
+
+def test_bm25_topk_order_and_ties(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    ref = py_bm25(ROWS, ["fast", "table", "scan"])
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    got = [
+        (r.id, r.score_fp)
+        for r in bm25_topk(df, ["fast", "table", "scan"], k=3).collect()
+    ]
+    assert got == want
+
+
+def test_bm25_saturation_and_length_norm(spark):
+    # equal-length docs with tf 1 vs 3: saturation means more than 1x but
+    # strictly less than 3x the score; a longer doc with the same tf
+    # scores lower (length normalization)
+    rows = [
+        (0, "fast pad pad"),
+        (1, "fast fast fast"),
+        (2, "fast pad pad pad pad pad pad pad"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r.score_fp for r in bm25_scores(df, ["fast"]).collect()}
+    assert got == py_bm25(rows, ["fast"])
+    assert got[0] < got[1] < 3 * got[0]
+    assert got[2] < got[0]
+
+
+def test_bm25_validates_inputs(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="distinct"):
+        bm25_scores(df, ["a", "a"])
+    with pytest.raises(ValueError, match="distinct"):
+        bm25_scores(df, [])
+    # query terms absent from the corpus -> empty result, stable schema
+    out = bm25_scores(df, ["zzzmissing"])
+    assert out.count() == 0 and out.columns == ["id", "score_fp"]
