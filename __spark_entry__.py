@@ -1534,6 +1534,25 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "rank")
 
 
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8-range) ANN with exact rerank — the
+    memory-bandwidth scale path beside IVF's partition pruning: the corpus
+    scan reads ~4x fewer bytes (qvec = floor(127*v/max|v|), exact floor of
+    identical doubles), candidates rank by the exact-integer asymmetric
+    score floor(1e6*scale*qdot), and only n_queries x candidates rows get
+    the exact float cosine. Candidate top-C is a SALTED two-level top-k
+    (identical result set by construction) so no partition ever holds the
+    whole corpus; the oracle mirrors quantization, candidate selection, and
+    rerank stage by stage."""
+    from kg_obo_spark.operators.similarity import ann_quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann_quantized_topk(emb, queries, k=5, candidates=20)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     # use_codecs=False pins the deterministic hash-derived features so the
@@ -2061,6 +2080,7 @@ _ROTATED_OUT = (
     "dedup_minhash",
     "dedup_simhash",
     "ann_ivf",
+    "ann_quantized_topk",
     "emb_near_dup_lsh",
     # parked mid-r7 for the new chunk_documents_bpe row (multimodal_decode
     # is green rows+schema+hash in CORRECTNESS_r06; multimodal coverage
@@ -2131,6 +2151,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "ann_ivf": q_ann_ivf,
+        "ann_quantized_topk": q_ann_quantized_topk,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         # --- new this round
         "q2_min_price_supplier": q2_min_price_supplier,
@@ -5109,6 +5130,58 @@ def all_oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY query_id
                                     ORDER BY sim DESC, neighbor_id ASC) AS rank
           FROM scored) t
+        WHERE rank <= 5
+        """,
+        # Scalar-quantized ANN mirrored stage by stage: per-vector scale =
+        # greatest(max|v|, 1e-30), qvec_i = floor(127*v_i/scale) (floor of
+        # an identical double is identical), candidate key = floor of
+        # (1e6*scale)*qdot in the SAME left-assoc multiply order as Spark
+        # (qdot is a small exact integer, so the double dot equals the
+        # integer dot bit-for-bit), top-20 candidates, exact spelled-out
+        # cosine rerank to floor-e6, top-5 by (sim_e6 DESC, id)
+        "ann_quantized_topk": f"""
+        WITH vecs AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        qt AS (
+          SELECT vec_id, v,
+                 greatest(list_max(list_transform(v, x -> abs(x))),
+                          1e-30) AS scale
+          FROM vecs
+        ),
+        qv AS (
+          SELECT vec_id, v, scale,
+                 list_transform(v, x -> floor(127.0 * x / scale)) AS q
+          FROM qt
+        ),
+        qry AS (SELECT vec_id AS query_id, v AS qvv, q AS qq
+                FROM qv WHERE vec_id < 3),
+        cand AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT r.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY r.query_id
+                     ORDER BY CAST(floor(1000000.0 * c.scale *
+                                         list_dot_product(c.q, r.qq))
+                              AS BIGINT) DESC,
+                              c.vec_id ASC) AS rn
+            FROM qv c CROSS JOIN qry r) t
+          WHERE rn <= 20
+        ),
+        rer AS (
+          SELECT cd.query_id, cd.neighbor_id,
+                 CAST(floor(1000000.0 *
+                      ({_cos_sql("nv.v", "r.qvv")})) AS BIGINT) AS sim_e6
+          FROM cand cd
+          JOIN vecs nv ON nv.vec_id = cd.neighbor_id
+          JOIN qry r ON r.query_id = cd.query_id
+        )
+        SELECT query_id, neighbor_id, sim_e6, rank FROM (
+          SELECT query_id, neighbor_id, sim_e6,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim_e6 DESC, neighbor_id ASC)
+                 AS rank
+          FROM rer) t
         WHERE rank <= 5
         """,
     }

@@ -295,3 +295,75 @@ def test_ivf_index_partition_prunes(spark, tmp_path):
     probe.collect()
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:120]
+
+
+# ------------------------------------------------- scalar-quantized (int8) ANN
+
+
+def test_quantize_embeddings_range_and_exactness(spark):
+    from kg_obo_spark.operators.similarity import quantize_embeddings
+
+    emb = _emb(spark, n=30)
+    rows = quantize_embeddings(emb).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r["scale"] > 0
+        assert all(-127 <= q <= 127 for q in r["qvec"])
+        # exact replay of the quantization rule
+        v = [float(x) for x in r["embedding"]]
+        s = max(max(abs(x) for x in v), 1e-30)
+        assert r["qvec"] == [math.floor(127.0 * x / s) for x in v]
+
+
+def test_ann_quantized_full_candidates_equals_exact(spark):
+    from kg_obo_spark.operators.similarity import ann_quantized_topk
+
+    emb = _emb(spark, n=40)
+    q = _queries(emb)
+    full = ann_quantized_topk(emb, q, k=5, candidates=40)
+    exact = cosine_topk(emb, q, k=5)
+    fs = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    es = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    # with every row surviving candidate generation, the rerank IS the
+    # exact ranking — sets must agree
+    assert fs == es
+
+
+def test_ann_quantized_recall_and_determinism(spark):
+    from kg_obo_spark.operators.similarity import ann_quantized_topk
+
+    emb = _emb(spark, n=60)
+    q = _queries(emb)
+    out = ann_quantized_topk(emb, q, k=5, candidates=15)
+    rows = sorted(
+        ((r["query_id"], r["rank"], r["neighbor_id"], r["sim_e6"]) for r in out.collect())
+    )
+    # deterministic across repartitioned input (the salted two-level top-k
+    # and exact-integer keys make the result partitioning-independent)
+    out2 = ann_quantized_topk(emb.repartition(7), q, k=5, candidates=15)
+    rows2 = sorted(
+        ((r["query_id"], r["rank"], r["neighbor_id"], r["sim_e6"]) for r in out2.collect())
+    )
+    assert rows == rows2
+    # self neighbor always survives quantization at rank 1
+    top1 = {r[0]: r[2] for r in rows if r[1] == 1}
+    assert top1 == {0: 0, 1: 1}
+    # int8 candidates keep high agreement with the exact top-k
+    es = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    fs = {(r[0], r[2]) for r in rows}
+    assert len(fs & es) / len(es) >= 0.8
+
+
+def test_ann_quantized_salted_window_in_plan(spark):
+    from kg_obo_spark.operators.similarity import ann_quantized_topk
+
+    emb = _emb(spark, n=30)
+    out = ann_quantized_topk(emb, _queries(emb), k=3, candidates=10)
+    plan = out._jdf.queryExecution().toString()
+    # candidate stage runs the salted PARTIAL top-k first: a window keyed by
+    # (query_id, _salt) must appear — the guard against the single-reducer
+    # full-corpus window at scale
+    assert "_salt" in plan
