@@ -2018,6 +2018,19 @@ def q_gram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram_familiarity(_t(spark, sf_dir, "documents"), n=2)
 
 
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order novelty audit (incremental-crawl curation): per document,
+    the fraction of its DISTINCT token 3-grams whose corpus-wide first
+    occurrence (min doc_id) is this document — the complement of
+    gram_familiarity's frequency view. All-integer floor-e6; gram-less
+    documents are vacuously novel (0, 0, 1e6). TWO corpus exchanges:
+    repartition(gram) serves both the (gram, id) distinct and the
+    min-over-gram window via the subset rule, then one hash(doc) agg."""
+    from kg_obo_spark.functions.text import gram_novelty
+
+    return gram_novelty(_t(spark, sf_dir, "documents"), n=3)
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -2081,6 +2094,7 @@ _ROTATED_OUT = (
     "dedup_simhash",
     "ann_ivf",
     "ann_quantized_topk",
+    "doc_novelty",
     "emb_near_dup_lsh",
     # parked mid-r7 for the new chunk_documents_bpe row (multimodal_decode
     # is green rows+schema+hash in CORRECTNESS_r06; multimodal coverage
@@ -2240,6 +2254,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_conversations_semantic": q_dedup_conversations_semantic,
         "preference_pairs": q_preference_pairs,
         "gram_familiarity": q_gram_familiarity,
+        "doc_novelty": q_doc_novelty,
         "conversation_entities": q_conversation_entities,
         "kg_comention_weights": q_kg_comention_weights,
         "sample_hash_mod": q_sample_hash_mod,
@@ -4897,6 +4912,43 @@ def all_oracle_sql() -> dict[str, str]:
                (1000000 * CAST(sum(cnt) AS BIGINT)) // count(*)
                  AS familiarity_e6
         FROM c GROUP BY doc_id
+        """,
+        # corpus-order gram novelty: distinct (doc, 3-gram) -> first
+        # occurrence = min(doc_id) per gram -> per-doc novel fraction as
+        # exact floor-e6 integers; gram-less docs vacuously novel (1e6)
+        "doc_novelty": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             tk -> len(tk) > 0) AS toks
+          FROM documents
+        ),
+        g AS (
+          SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     generate_series(1, len(toks) - 2),
+                     i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+                   )) AS gram
+            FROM t WHERE len(toks) >= 3)
+        ),
+        f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1),
+        pd AS (
+          SELECT g.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_distinct_grams,
+                 CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                      AS BIGINT) AS novel_grams,
+                 (1000000 * CAST(sum(CASE WHEN f.first_doc = g.doc_id
+                                          THEN 1 ELSE 0 END) AS BIGINT))
+                   // CAST(count(*) AS BIGINT) AS novelty_e6
+          FROM g JOIN f USING (gram) GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(pd.n_distinct_grams, 0) AS n_distinct_grams,
+               coalesce(pd.novel_grams, 0) AS novel_grams,
+               coalesce(pd.novelty_e6, 1000000) AS novelty_e6
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN pd USING (doc_id)
         """,
         "sessionize": """
         WITH gaps AS (

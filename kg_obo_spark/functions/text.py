@@ -662,3 +662,72 @@ def gram_familiarity(
         F.count(F.lit(1)).cast("long").alias("n_grams"),
         F.expr("div(1000000 * sum(_cnt), count(1))").alias("familiarity_e6"),
     )
+
+
+def gram_novelty(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-order novelty audit: for each document, the fraction of its
+    DISTINCT token ``n``-grams whose corpus-wide FIRST occurrence (minimum
+    document id) is this document. Incremental-crawl curation tracks exactly
+    this — a snapshot whose documents mostly repeat earlier grams adds
+    little (the complement of :func:`gram_familiarity`'s frequency view:
+    familiarity asks "how common", novelty asks "who was first").
+
+    Returns (``id_col``, n_distinct_grams, novel_grams, novelty_e6) for
+    EVERY input document; novelty_e6 = floor(1e6 * novel / distinct).
+    Documents with fewer than ``n`` tokens have no grams and are vacuously
+    novel (0, 0, 1e6) — they repeat nothing. All-integer arithmetic, so the
+    result is partitioning- and engine-exact.
+
+    Dataflow: positional grams map-side (staged HOF projection) ->
+    ``repartition(gram)`` so BOTH the (gram, id) distinct and the
+    min-over-gram window reuse one hash(gram) exchange (the subset rule —
+    gram alone clusters every (gram, id) group) -> per-document aggregation.
+    Exactly TWO corpus exchanges — hash(gram) and hash(id), both inherent.
+    Stop-gram skew is bounded: the window carries only ids (no value
+    columns), and AQE skew-split handles the residual.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    toks = tokens(F.col(text_col))
+    d = df.select(F.col(id_col), toks.alias("_toks"))
+    grams = d.filter(F.size("_toks") >= n).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - n),
+                lambda i: F.array_join(F.slice("_toks", i + 1, n), " "),
+            )
+        ).alias("gram"),
+    )
+    from pyspark.sql import Window
+
+    dist = grams.repartition("gram").dropDuplicates(["gram", id_col])
+    first_w = Window.partitionBy("gram")
+    scored = dist.select(
+        id_col, (F.min(id_col).over(first_w) == F.col(id_col)).alias("_novel")
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
+        F.sum(F.col("_novel").cast("long")).cast("long").alias("novel_grams"),
+        F.expr(
+            "div(1000000 * sum(CAST(_novel AS LONG)), count(1))"
+        ).alias("novelty_e6"),
+    )
+    return (
+        df.select(id_col).distinct()
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_distinct_grams", F.lit(0).cast("long")).alias(
+                "n_distinct_grams"
+            ),
+            F.coalesce("novel_grams", F.lit(0).cast("long")).alias(
+                "novel_grams"
+            ),
+            F.coalesce("novelty_e6", F.lit(1_000_000).cast("long")).alias(
+                "novelty_e6"
+            ),
+        )
+    )

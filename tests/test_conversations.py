@@ -794,3 +794,38 @@ def test_topic_balanced_mixture_composition(spark):
     ).collect()
     assert {r.conv_id for r in kept_turns} == kept_convs
     assert len(kept_turns) == 4 * len(kept_convs)
+
+
+def test_gram_novelty_values_and_plan(spark):
+    from kg_obo_spark.functions.text import gram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),            # "a b c", "b c d" — both first here
+            (1, "a b c x"),            # "a b c" seen (doc 0), "b c x" new
+            (2, "a b"),                # < 3 tokens: vacuously novel
+            (3, "a b c a b c a b c"),  # 3 distinct grams, 2 first here
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gram_novelty(docs, n=3).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert (out[0].n_distinct_grams, out[0].novel_grams) == (2, 2)
+    assert out[0].novelty_e6 == 1_000_000
+    assert (out[1].n_distinct_grams, out[1].novel_grams) == (2, 1)
+    assert out[1].novelty_e6 == 500_000
+    assert (out[2].n_distinct_grams, out[2].novel_grams) == (0, 0)
+    assert out[2].novelty_e6 == 1_000_000
+    # doc 3: "a b c" first in doc 0; "b c a" and "c a b" first here
+    assert (out[3].n_distinct_grams, out[3].novel_grams) == (3, 2)
+    assert out[3].novelty_e6 == 666_666
+
+    plan = _plan(gram_novelty(docs, n=3))
+    assert "hashpartitioning(gram" in plan
+    assert "hashpartitioning(doc_id" in plan
+    # one gram exchange (serves distinct AND first-occurrence window via the
+    # subset rule), one per-doc agg, one universe distinct for the left join
+    assert plan.count("Exchange hashpartitioning") == 3
+
+    with pytest.raises(ValueError, match="n must be positive"):
+        gram_novelty(docs, n=0)
