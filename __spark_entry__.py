@@ -276,6 +276,19 @@ def q_kg_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(e, nodes=nodes)
 
 
+def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core density report (k=3, 3 fixed peel rounds — the engine-exact
+    replay configuration; production peels to fixpoint) over the citation
+    graph taken as undirected: survivors of iterated degree-<3 removal and
+    their degree in the surviving subgraph. All-integer; per round ONE
+    degree agg + two hash semi-joins, edge frame only shrinks. Oracle =
+    the same three peels unrolled as CTE stages."""
+    from kg_obo_spark.operators.graph_algos import kcore
+
+    e, _ = _doc_link_graph(spark, sf_dir)
+    return kcore(e, k=3, rounds=3)
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical retrieval: exact fixed-point BM25 top-25 for a three-term
     query — rational k1=6/5, b=3/4 cleared of fractions, linear-rational
@@ -2143,6 +2156,7 @@ _ROTATED_OUT = (
     "kg_ancestor_closure",
     "kg_node_depth",
     "kg_triangle_counts",
+    "kg_kcore",
     "bpe_pair_counts",
     "bm25_topk",
     "mixture_temperature",
@@ -2178,6 +2192,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ancestor_closure": q_kg_ancestor_closure,
         "kg_node_depth": q_kg_node_depth,
         "kg_triangle_counts": q_kg_triangle_counts,
+        "kg_kcore": q_kg_kcore,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bm25_topk": q_bm25_topk,
         "kg_curie_normalize": q_kg_curie_normalize,
@@ -3192,6 +3207,41 @@ def all_oracle_sql() -> dict[str, str]:
         SELECT d.doc_id AS id, CAST(coalesce(c.n_tri, 0) AS BIGINT) AS n_tri
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN c ON c.id = d.doc_id
+        """,
+        # k=3 k-core, three peel rounds unrolled: per round degrees ->
+        # keep set (deg >= 3) -> edge restriction; output = degree in the
+        # final surviving subgraph (kcore(rounds=3) replays exactly this)
+        "kg_kcore": """
+        WITH raw AS (
+          SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+          UNION ALL
+          SELECT doc_id, doc_id // 3 FROM documents
+        ),
+        e0 AS (
+          SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM raw WHERE src <> dst
+        ),
+        d1 AS (SELECT id, count(*) AS d FROM (
+                 SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0) m
+               GROUP BY id),
+        k1 AS (SELECT id FROM d1 WHERE d >= 3),
+        e1 AS (SELECT u, v FROM e0
+               WHERE u IN (SELECT id FROM k1) AND v IN (SELECT id FROM k1)),
+        d2 AS (SELECT id, count(*) AS d FROM (
+                 SELECT u AS id FROM e1 UNION ALL SELECT v FROM e1) m
+               GROUP BY id),
+        k2 AS (SELECT id FROM d2 WHERE d >= 3),
+        e2 AS (SELECT u, v FROM e1
+               WHERE u IN (SELECT id FROM k2) AND v IN (SELECT id FROM k2)),
+        d3 AS (SELECT id, count(*) AS d FROM (
+                 SELECT u AS id FROM e2 UNION ALL SELECT v FROM e2) m
+               GROUP BY id),
+        k3 AS (SELECT id FROM d3 WHERE d >= 3),
+        e3 AS (SELECT u, v FROM e2
+               WHERE u IN (SELECT id FROM k3) AND v IN (SELECT id FROM k3))
+        SELECT id, CAST(count(*) AS BIGINT) AS core_deg FROM (
+          SELECT u AS id FROM e3 UNION ALL SELECT v FROM e3) m
+        GROUP BY id
         """,
         # exact fixed-point BM25: constants 44/20/6/18 are the cleared
         # fractions of k1=6/5, b=3/4 (see operators/retrieval.py)

@@ -171,3 +171,39 @@ def test_triangle_counts_skew_and_duplicates(spark):
     df = spark.createDataFrame(edges, "a long, b long")
     got = {r.id: r.n_tri for r in triangle_counts(df.repartition(7)).collect()}
     assert got == py_triangles(edges)
+
+
+def test_kcore_fixpoint_peels_tail(spark):
+    from kg_obo_spark.operators.graph_algos import kcore
+
+    # 4-clique {0,1,2,3} with a tail 3-4-5: k=2 peels 5 then 4, leaving
+    # the clique (degree 3 each)
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.id: r.core_deg for r in kcore(df, k=2).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # fixpoint invariant: every survivor has core_deg >= k
+    assert all(d >= 2 for d in got.values())
+    # k above the max core empties the graph
+    assert kcore(df, k=4).count() == 0
+
+
+def test_kcore_fixed_rounds_replay(spark):
+    from kg_obo_spark.operators.graph_algos import kcore
+
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    # one peel removes only node 5; node 4 survives with degree 1 (< k) —
+    # the fixed-rounds mode reports the intermediate subgraph faithfully
+    got1 = {r.id: r.core_deg for r in kcore(df, k=2, rounds=1).collect()}
+    assert got1 == {0: 3, 1: 3, 2: 3, 3: 4, 4: 1}
+    # enough fixed rounds == fixpoint; dup/reversed/self edges ignored
+    noisy = df.union(
+        spark.createDataFrame([(1, 0), (2, 2), (0, 1)], "a long, b long")
+    )
+    got3 = {r.id: r.core_deg for r in kcore(noisy.repartition(5), k=2, rounds=3).collect()}
+    fix = {r.id: r.core_deg for r in kcore(df, k=2).collect()}
+    assert got3 == fix
+
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        kcore(df, k=0)
