@@ -90,6 +90,23 @@ def _semantic_dedup_plan(spark):
     return conversation_near_dup_clustered(emb, 0.1, n_clusters=2, iters=1)
 
 
+def _quantized_ann_plan(spark):
+    from kg_obo_spark.operators.similarity import ann_quantized_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann_quantized_topk(emb, q, k=5, candidates=20)
+
+
+def _novelty_plan(spark):
+    from kg_obo_spark.functions.text import gram_novelty
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return gram_novelty(docs, n=3)
+
+
 def main() -> None:
     spark = get_spark(app_name="plans", master="local[8]")
     onto = build_ontology()
@@ -216,6 +233,28 @@ def main() -> None:
             "hash equi-join on cluster_id — candidates n^2/k, never a\n"
             "CartesianProduct (asserted in tests/test_conversations.py).",
             fmt(_semantic_dedup_plan(spark)),
+        ),
+        (
+            "Scalar-quantized ANN (salted partial top-k + exact rerank)",
+            "Quantization is a pure codegen projection (scale staged behind an\n"
+            "alias — one array_max per row); candidate generation broadcasts\n"
+            "the quantized queries and runs the top-C as TWO windows: the\n"
+            "first keyed (query_id, _salt) on corpus-partition-sized groups,\n"
+            "the second over the (n_salts x C)-row survivor set — no single\n"
+            "partition ever holds the whole corpus (the single-reducer trap a\n"
+            "plain partitionBy(query_id) window would be at 100 TB). The exact\n"
+            "cosine rerank joins only n_queries x C rows back to the float\n"
+            "vectors.",
+            fmt(_quantized_ann_plan(spark)),
+        ),
+        (
+            "Corpus-order gram novelty (shared gram exchange)",
+            "repartition(gram) clusters the corpus once; the (gram, doc)\n"
+            "distinct AND the first-occurrence min() window both reuse that\n"
+            "partitioning via the subset rule — the gram side pays ONE\n"
+            "exchange, the per-doc rollup one more, plus the id-only universe\n"
+            "distinct for the left join (vacuously novel gram-less docs).",
+            fmt(_novelty_plan(spark)),
         ),
     ]
     with open("/root/repo/docs/PLANS.md", "w") as f:
