@@ -289,6 +289,19 @@ def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(e, k=3, rounds=3)
 
 
+def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered negative sampling for KG-embedding training (the
+    corrupted-triples protocol): 2 deterministic md5-bucket tail
+    corruptions per distinct citation edge, kept only when they are real
+    non-edges (no true (src, dst), no self-loop). Map-side slot explode +
+    ONE hash anti-join on (src, dst) — the inherent edge-membership
+    exchange; collided slots drop (rate ~degree/n), never resample."""
+    from kg_obo_spark.operators.negatives import negative_samples
+
+    e, nodes = _doc_link_graph(spark, sf_dir)
+    return negative_samples(e, n_nodes=nodes.count(), n_neg=2)
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical retrieval: exact fixed-point BM25 top-25 for a three-term
     query — rational k1=6/5, b=3/4 cleared of fractions, linear-rational
@@ -1566,6 +1579,22 @@ def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_quantized_topk(emb, queries, k=5, candidates=20)
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training (DPR/E5):
+    per anchor, top-5 corpus vectors with exact cosine in [0.10, 0.35) —
+    floor drops gradient-free easy negatives, ceiling drops likely
+    false-negative near-dups. Floor-e6 integer band + ranking; band filter
+    runs map-side BEFORE any shuffle, per-anchor top-k is the salted
+    two-level window (no single-reducer partition)."""
+    from kg_obo_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return hard_negatives(emb, anchors, k=5, band_lo=0.10, band_hi=0.35)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     # use_codecs=False pins the deterministic hash-derived features so the
@@ -2107,6 +2136,7 @@ _ROTATED_OUT = (
     "dedup_simhash",
     "ann_ivf",
     "ann_quantized_topk",
+    "hard_negatives",
     "doc_novelty",
     "emb_near_dup_lsh",
     # parked mid-r7 for the new chunk_documents_bpe row (multimodal_decode
@@ -2157,6 +2187,7 @@ _ROTATED_OUT = (
     "kg_node_depth",
     "kg_triangle_counts",
     "kg_kcore",
+    "kg_negative_samples",
     "bpe_pair_counts",
     "bm25_topk",
     "mixture_temperature",
@@ -2180,6 +2211,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_ivf": q_ann_ivf,
         "ann_quantized_topk": q_ann_quantized_topk,
+        "hard_negatives": q_hard_negatives,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         # --- new this round
         "q2_min_price_supplier": q2_min_price_supplier,
@@ -2193,6 +2225,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node_depth": q_kg_node_depth,
         "kg_triangle_counts": q_kg_triangle_counts,
         "kg_kcore": q_kg_kcore,
+        "kg_negative_samples": q_kg_negative_samples,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bm25_topk": q_bm25_topk,
         "kg_curie_normalize": q_kg_curie_normalize,
@@ -3242,6 +3275,30 @@ def all_oracle_sql() -> dict[str, str]:
         SELECT id, CAST(count(*) AS BIGINT) AS core_deg FROM (
           SELECT u AS id FROM e3 UNION ALL SELECT v FROM e3) m
         GROUP BY id
+        """,
+        # filtered corrupted-triple negatives: md5-bucket tail corruption
+        # (seed 7, 2 slots) mod n_nodes, self-loops and true edges dropped
+        "kg_negative_samples": """
+        WITH raw AS (
+          SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+          UNION ALL
+          SELECT doc_id, doc_id // 3 FROM documents
+        ),
+        ed AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        n AS (SELECT count(*) AS n_nodes FROM documents),
+        cand AS (
+          SELECT src, dst, j AS slot,
+                 CAST(concat('0x', substr(md5(concat(
+                        '7:', CAST(src AS VARCHAR), ':',
+                        CAST(dst AS VARCHAR), ':', CAST(j AS VARCHAR))),
+                      1, 8)) AS BIGINT) % n.n_nodes AS dst_neg
+          FROM ed, n, (VALUES (0), (1)) s(j)
+        )
+        SELECT c.src, c.dst_neg, CAST(c.slot AS BIGINT) AS slot
+        FROM cand c
+        WHERE c.dst_neg <> c.src
+          AND NOT EXISTS (SELECT 1 FROM ed t
+                          WHERE t.src = c.src AND t.dst = c.dst_neg)
         """,
         # exact fixed-point BM25: constants 44/20/6/18 are the cleared
         # fractions of k1=6/5, b=3/4 (see operators/retrieval.py)
@@ -5284,6 +5341,32 @@ def all_oracle_sql() -> dict[str, str]:
                                     ORDER BY sim_e6 DESC, neighbor_id ASC)
                  AS rank
           FROM rer) t
+        WHERE rank <= 5
+        """,
+        # hard-negative mining: exact floor-e6 cosine band [0.10, 0.35)
+        # per anchor, top-5 by (sim_e6 DESC, id) — the salted two-level
+        # Spark top-k returns the identical set as this single window
+        "hard_negatives": f"""
+        WITH vecs AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        anch AS (SELECT vec_id AS query_id, v AS qv FROM vecs
+                 WHERE vec_id < 3),
+        scored AS (
+          SELECT a.query_id, c.vec_id AS neighbor_id,
+                 CAST(floor(1000000.0 *
+                      ({_cos_sql("c.v", "a.qv")})) AS BIGINT) AS sim_e6
+          FROM vecs c CROSS JOIN anch a
+        ),
+        band AS (
+          SELECT * FROM scored WHERE sim_e6 >= 100000 AND sim_e6 < 350000
+        )
+        SELECT query_id, neighbor_id, sim_e6, rank FROM (
+          SELECT query_id, neighbor_id, sim_e6,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim_e6 DESC, neighbor_id ASC)
+                 AS rank
+          FROM band) t
         WHERE rank <= 5
         """,
     }

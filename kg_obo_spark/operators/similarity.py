@@ -745,6 +745,41 @@ def _idot(a: Column, b: Column) -> Column:
     )
 
 
+def salted_topk(
+    df: DataFrame,
+    part_col: str,
+    score_col: str,
+    tie_col: str,
+    k: int,
+    n_salts: int = 64,
+) -> DataFrame:
+    """Distributed per-group top-k without the single-reducer trap: a plain
+    ``Window.partitionBy(group)`` funnels EVERY row of a group through one
+    partition — fatal when a group spans the corpus (per-query ANN scoring,
+    per-anchor negative mining). This runs the same (score desc, tie asc)
+    ranking TWICE: first keyed (group, salt) with ``salt = tie mod
+    n_salts`` — corpus-partition-sized groups — then over the surviving
+    ``n_salts * k`` rows per group. Every global top-k row is inside its
+    salt's top-k, so the result set is IDENTICAL to the single-window
+    top-k by construction (the tie column must make the order total).
+    Returns the input rows (minus helper columns) of the global top-k.
+    """
+    w_part = Window.partitionBy(part_col, "_salt").orderBy(
+        F.col(score_col).desc(), F.col(tie_col).asc()
+    )
+    w_full = Window.partitionBy(part_col).orderBy(
+        F.col(score_col).desc(), F.col(tie_col).asc()
+    )
+    return (
+        df.withColumn("_salt", F.pmod(F.col(tie_col), F.lit(n_salts)))
+        .withColumn("_rn", F.row_number().over(w_part))
+        .filter(F.col("_rn") <= k)
+        .withColumn("_rn2", F.row_number().over(w_full))
+        .filter(F.col("_rn2") <= k)
+        .drop("_salt", "_rn", "_rn2")
+    )
+
+
 def ann_quantized_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -798,28 +833,14 @@ def ann_quantized_topk(
         * F.col("scale")
         * _idot(F.col("qvec"), F.col("q_qvec")).cast("double")
     ).cast("long")
-    scored = (
-        qe.crossJoin(F.broadcast(qq))
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            approx_fp.alias("approx_fp"),
-        )
-        .withColumn("_salt", F.pmod(F.col("neighbor_id"), F.lit(n_salts)))
+    scored = qe.crossJoin(F.broadcast(qq)).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        approx_fp.alias("approx_fp"),
     )
-    w_part = Window.partitionBy("query_id", "_salt").orderBy(
-        F.col("approx_fp").desc(), F.col("neighbor_id").asc()
-    )
-    w_full = Window.partitionBy("query_id").orderBy(
-        F.col("approx_fp").desc(), F.col("neighbor_id").asc()
-    )
-    cand = (
-        scored.withColumn("_rn", F.row_number().over(w_part))
-        .filter(F.col("_rn") <= candidates)
-        .withColumn("_rn2", F.row_number().over(w_full))
-        .filter(F.col("_rn2") <= candidates)
-        .select("query_id", "neighbor_id")
-    )
+    cand = salted_topk(
+        scored, "query_id", "approx_fp", "neighbor_id", candidates, n_salts
+    ).select("query_id", "neighbor_id")
     qv = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -844,3 +865,59 @@ def ann_quantized_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim_e6", "rank")
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    band_lo: float = 0.10,
+    band_hi: float = 0.90,
+    n_salts: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchor_id_col: str = "query_id",
+    anchor_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training (the DPR/E5
+    recipe): per anchor, the top-``k`` corpus vectors whose exact cosine
+    lies in the band ``[band_lo, band_hi)`` — above the floor because
+    too-easy negatives carry no gradient, below the ceiling because
+    near-duplicates are likely unlabeled POSITIVES and poison the loss as
+    false negatives. Returns (query_id, neighbor_id, sim_e6, rank); the
+    band compare and the ranking run on floor-e6 fixed point, so the mined
+    set is deterministic and engine-exact.
+
+    Scale shape: anchors broadcast; the band predicate filters map-side
+    BEFORE any shuffle (most of the corpus never leaves its scan task);
+    the per-anchor top-k is :func:`salted_topk` — no single-reducer window.
+    This is the exact-scoring baseline; above ~10^8 rows generate the band
+    candidates with :func:`ann_quantized_topk`'s quantized scan or
+    :func:`embedding_near_dup_lsh` blocking first and rerank here.
+    """
+    a = F.broadcast(
+        anchors.select(
+            F.col(anchor_id_col).alias("query_id"),
+            F.col(anchor_vec_col).alias("qv"),
+        )
+    )
+    sim_e6 = F.floor(
+        F.lit(1_000_000.0) * cosine(F.col(vec_col), F.col("qv"))
+    ).cast("long")
+    scored = (
+        embeddings.crossJoin(a)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            sim_e6.alias("sim_e6"),
+        )
+        .filter(
+            (F.col("sim_e6") >= int(band_lo * 1_000_000))
+            & (F.col("sim_e6") < int(band_hi * 1_000_000))
+        )
+    )
+    top = salted_topk(scored, "query_id", "sim_e6", "neighbor_id", k, n_salts)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_e6").desc(), F.col("neighbor_id").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -367,3 +367,32 @@ def test_ann_quantized_salted_window_in_plan(spark):
     # (query_id, _salt) must appear — the guard against the single-reducer
     # full-corpus window at scale
     assert "_salt" in plan
+
+
+def test_hard_negatives_band_and_replay(spark):
+    import numpy as np
+
+    from kg_obo_spark.operators.similarity import hard_negatives
+
+    emb = _emb(spark, n=50)
+    q = _queries(emb)
+    out = hard_negatives(emb, q, k=4, band_lo=0.10, band_hi=0.90)
+    rows = out.collect()
+    assert rows, "band should be populated for sin-derived vectors"
+    for r in rows:
+        assert 100_000 <= r["sim_e6"] < 900_000
+    # deterministic under repartitioning
+    rows2 = hard_negatives(emb.repartition(9), q, k=4, band_lo=0.10, band_hi=0.90).collect()
+    key = lambda rs: sorted((r["query_id"], r["rank"], r["neighbor_id"], r["sim_e6"]) for r in rs)
+    assert key(rows) == key(rows2)
+    # numpy replay: floor-e6 cosine band + top-k by (sim desc, id)
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    for qid in (0, 1):
+        sims = {
+            i: int(np.floor(1e6 * (v @ vecs[qid]) / (np.linalg.norm(v) * np.linalg.norm(vecs[qid]))))
+            for i, v in vecs.items()
+        }
+        band = {i: s for i, s in sims.items() if 100_000 <= s < 900_000}
+        expect = [i for i, _ in sorted(band.items(), key=lambda kv: (-kv[1], kv[0]))[:4]]
+        got = [r["neighbor_id"] for r in sorted(rows, key=lambda r: r["rank"]) if r["query_id"] == qid]
+        assert got == expect
