@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["negative_samples"]
+__all__ = ["negative_samples", "corrupt_edges", "filter_corruptions"]
 
 
 def negative_samples(
@@ -60,6 +60,17 @@ def negative_samples(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    return filter_corruptions(corrupt_edges(ed, n_nodes, n_neg, seed), ed)
+
+
+def corrupt_edges(
+    ed: DataFrame, n_nodes: int, n_neg: int, seed: int
+) -> DataFrame:
+    """(src, dst, slot, dst_neg): the deterministic md5-bucket corruption
+    stream for normalized (src, dst) edges — map-side only (explode +
+    codegen md5 projection). Shared by the batch operator and
+    :func:`~kg_obo_spark.streaming.negatives.stream_negative_samples`,
+    which filters against a STATIC edge snapshot instead."""
     cand = ed.select(
         "src",
         "dst",
@@ -89,10 +100,18 @@ def negative_samples(
             % F.lit(int(n_nodes))
         ).alias("dst_neg"),
     )
+    return cand
+
+
+def filter_corruptions(cand: DataFrame, true_edges: DataFrame) -> DataFrame:
+    """The FILTERED setting: drop self-loop corruptions and any corruption
+    colliding with a true (src, dst) edge — one hash anti-join (stream-
+    static when ``cand`` is a streaming frame and ``true_edges`` a committed
+    snapshot)."""
     return (
         cand.filter(F.col("dst_neg") != F.col("src"))
         .join(
-            ed.select("src", F.col("dst").alias("dst_neg")),
+            true_edges.select("src", F.col("dst").alias("dst_neg")),
             ["src", "dst_neg"],
             "left_anti",
         )
