@@ -979,6 +979,21 @@ def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_weighted_sample(d, "doc_id", "score_bp")
 
 
+def q_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-tiered repetition plan (FineWeb-Edu / data-echoing
+    upsampling): score >= 8000 -> 3 epoch copies, >= 5000 -> 2, else 1;
+    each (doc, repeat) gets the epoch_shards md5 order key seeded by
+    repeat_idx so copies scatter through the epoch. Pure map-side codegen
+    (CASE + bounded explode + md5) — ZERO exchange."""
+    from kg_obo_spark.operators.sampling import repeat_plan
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.least(F.lit(9999), F.col("n_chars") * 20).alias("score_bp"),
+    )
+    return repeat_plan(d, "score_bp")
+
+
 def q_sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic 5% corpus slice: md5-bucket sampling, engine-portable
     # (the reproducible sampler a training pipeline uses for splits)
@@ -2138,6 +2153,7 @@ _ROTATED_OUT = (
     "ann_quantized_topk",
     "hard_negatives",
     "doc_novelty",
+    "repeat_plan",
     "emb_near_dup_lsh",
     # parked mid-r7 for the new chunk_documents_bpe row (multimodal_decode
     # is green rows+schema+hash in CORRECTNESS_r06; multimodal coverage
@@ -2303,6 +2319,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pairs": q_preference_pairs,
         "gram_familiarity": q_gram_familiarity,
         "doc_novelty": q_doc_novelty,
+        "repeat_plan": q_repeat_plan,
         "conversation_entities": q_conversation_entities,
         "kg_comention_weights": q_kg_comention_weights,
         "sample_hash_mod": q_sample_hash_mod,
@@ -3933,6 +3950,35 @@ def all_oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_chars, score_bp FROM s
         WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                    AS BIGINT) % 10000 < score_bp
+        """,
+        # quality-tiered epoch repetition: first matching tier wins
+        # (8000->3, 5000->2, 0->1); order/shard = md5('0:id:r') epoch key
+        "repeat_plan": r"""
+        WITH s AS (
+          SELECT doc_id, least(9999, n_chars * 20) AS score_bp
+          FROM documents
+        ),
+        t AS (
+          SELECT doc_id,
+                 CASE WHEN score_bp >= 8000 THEN 3
+                      WHEN score_bp >= 5000 THEN 2
+                      ELSE 1 END AS n
+          FROM s
+        ),
+        f AS (
+          SELECT doc_id, unnest(generate_series(0, n - 1)) AS r
+          FROM t
+        ),
+        k AS (
+          SELECT doc_id, CAST(r AS BIGINT) AS repeat_idx,
+                 md5(concat('0:', CAST(doc_id AS VARCHAR), ':',
+                            CAST(r AS VARCHAR))) AS order_key
+          FROM f
+        )
+        SELECT doc_id, repeat_idx, order_key,
+               CAST(CAST(concat('0x', substr(order_key, 1, 8)) AS BIGINT)
+                    % 64 AS INTEGER) AS shard
+        FROM k
         """,
         "sample_hash_mod": r"""
         SELECT doc_id,

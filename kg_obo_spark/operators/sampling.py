@@ -272,3 +272,75 @@ def write_epoch_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def repeat_plan(
+    df: DataFrame,
+    score_col: str,
+    tiers: list[tuple[int, int]] = ((8000, 3), (5000, 2), (0, 1)),
+    seed: int = 0,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Quality-tiered repetition plan for multi-epoch training (the
+    FineWeb-Edu / data-echoing upsampling recipe): a document whose 0..10000
+    ``score_col`` reaches tier threshold ``t`` appears ``n_t`` times in the
+    epoch stream — high-quality sources are repeated, the tail is seen once.
+    Returns one row per (document, repeat): (``id_col``, repeat_idx,
+    order_key, shard) where the order/shard pair is the
+    :func:`epoch_shard_assignment` md5 discipline keyed by
+    ``f"{seed}:{id}:{repeat_idx}"`` — so the copies of a document scatter
+    uniformly through the epoch instead of clustering back to back, the
+    layout is identical on any engine/partitioning/rerun, and a new seed is
+    a fresh permutation.
+
+    ``tiers``: (min_score, n_repeats) pairs scanned in order — the FIRST
+    matching tier wins, so pass them highest-threshold first; include a
+    (0, n) floor tier or sub-floor documents are dropped (n_repeats 0 is a
+    valid tier: combined quality filter + upsample in one plan).
+
+    100 TB shape: pure map-side codegen — CASE over the score, a bounded
+    ``explode(sequence(...))`` fan-out (≤ max n_repeats), and the md5
+    projection; ZERO exchange. Materialization is
+    :func:`write_epoch_shards` on the result (task-local shard sorts).
+    """
+    if not tiers:
+        raise ValueError("tiers must be non-empty")
+    reps = None
+    for min_score, n_rep in tiers:
+        if n_rep < 0:
+            raise ValueError(f"n_repeats must be >= 0, got {n_rep}")
+        cond = F.col(score_col) >= int(min_score)
+        reps = (
+            F.when(cond, F.lit(int(n_rep)))
+            if reps is None
+            else reps.when(cond, F.lit(int(n_rep)))
+        )
+    reps = reps.otherwise(F.lit(0))
+    fanned = (
+        df.select(F.col(id_col), reps.alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("_r"),
+        )
+    )
+    h = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit(str(int(seed))),
+            F.col(id_col).cast("string"),
+            F.col("_r").cast("string"),
+        )
+    )
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_shards)
+    )
+    return fanned.select(
+        id_col,
+        F.col("_r").cast("long").alias("repeat_idx"),
+        h.alias("order_key"),
+        shard.cast("int").alias("shard"),
+    )

@@ -317,3 +317,52 @@ def test_quality_weighted_sample_is_score_proportional(spark):
     # exact membership rule: bucket < score
     ref = df.filter(sample_bucket(F.col("doc_id")) < F.col("score_bp"))
     assert kept.exceptAll(ref).count() == 0 and ref.exceptAll(kept).count() == 0
+
+
+def test_repeat_plan_tiers_and_determinism(spark):
+    import hashlib
+
+    from kg_obo_spark.operators.sampling import repeat_plan
+
+    df = spark.createDataFrame(
+        [(0, 9000), (1, 6000), (2, 100), (3, 8000)],
+        "doc_id long, score_bp long",
+    )
+    rows = repeat_plan(df, "score_bp", seed=0).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    # tier fan-out: >=8000 -> 3, >=5000 -> 2, else 1
+    assert {d: len(v) for d, v in per_doc.items()} == {0: 3, 1: 2, 2: 1, 3: 3}
+    for r in rows:
+        # md5 order key seeded by (seed, id, repeat): hashlib replay
+        h = hashlib.md5(f"0:{r.doc_id}:{r.repeat_idx}".encode()).hexdigest()
+        assert r.order_key == h
+        assert r.shard == int(h[:8], 16) % 64
+    # partitioning-independent
+    again = repeat_plan(df.repartition(3), "score_bp", seed=0).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # a 0-repeat floor tier is a combined filter+upsample plan
+    dropped = repeat_plan(df, "score_bp", tiers=[(5000, 2), (0, 0)]).collect()
+    assert {r.doc_id for r in dropped} == {0, 1, 3}
+
+
+def test_repeat_plan_zero_exchange_and_validation(spark):
+    import pytest as _pytest
+
+    from kg_obo_spark.operators.sampling import repeat_plan
+
+    df = spark.createDataFrame(
+        [(i, i % 10000) for i in range(100)], "doc_id long, score_bp long"
+    )
+    plan = (
+        repeat_plan(df, "score_bp")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure map-side codegen
+    with _pytest.raises(ValueError, match="tiers"):
+        repeat_plan(df, "score_bp", tiers=[])
+    with _pytest.raises(ValueError, match="n_repeats"):
+        repeat_plan(df, "score_bp", tiers=[(0, -1)])
