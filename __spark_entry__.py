@@ -948,6 +948,22 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_resample(d, "doc_id", "lang", w).select("doc_id", "lang")
 
 
+def q_mixture_resample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-BUDGET mixture resampling: per-stratum rates derived from token
+    TOTALS instead of document counts — the unit a pretraining mixture is
+    specified in ("X% of training tokens from domain d"); the count variant
+    skews token shares when domains differ in document length. Same
+    exact-integer anchor/rate derivation, ONE sum agg, codegen filter."""
+    from kg_obo_spark.functions.text import token_count
+    from kg_obo_spark.operators.sampling import mixture_resample_tokens
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    w = {"de": 1, "en": 2, "es": 1, "fr": 1, "zh": 1}
+    return mixture_resample_tokens(d, "doc_id", "lang", w, "n_tok")
+
+
 def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based mixture resampling (sqrt temperature, alpha=1/2 —
     the mBERT/XLM-R multilingual sampling rule): stratum shares become
@@ -2206,6 +2222,7 @@ _ROTATED_OUT = (
     "kg_negative_samples",
     "bpe_pair_counts",
     "bm25_topk",
+    "mixture_resample_tokens",
     "mixture_temperature",
     "sample_quality_weighted",
     "sketch_value_quantiles",  # local-parity-only by design: the sketch
@@ -2295,6 +2312,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "chunk_documents_bpe": q_chunk_documents_bpe,
         "mixture_resample": q_mixture_resample,
+        "mixture_resample_tokens": q_mixture_resample_tokens,
         "mixture_temperature": q_mixture_temperature,
         "sample_quality_weighted": q_sample_quality_weighted,
         # transcript analytics (r7): the north-star payload's training-data
@@ -3909,6 +3927,40 @@ def all_oracle_sql() -> dict[str, str]:
         )
         SELECT d.doc_id, d.lang
         FROM documents d JOIN r ON d.lang = r.s
+        WHERE CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 10000 < r.rate_bp
+        """,
+        # token-budget mixture: same anchor/rate derivation with per-
+        # stratum TOKEN TOTALS standing in for row counts
+        "mixture_resample_tokens": r"""
+        WITH tok AS (
+          SELECT doc_id, lang,
+                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                      tk -> tk <> '')) AS BIGINT) AS n_tok
+          FROM documents
+          WHERE lang IN ('de', 'en', 'es', 'fr', 'zh')
+        ),
+        c AS (SELECT lang AS s, CAST(sum(n_tok) AS BIGINT) AS n
+              FROM tok GROUP BY 1),
+        w(s, wt) AS (
+          VALUES ('de', 1), ('en', 2), ('es', 1), ('fr', 1), ('zh', 1)
+        ),
+        j AS (SELECT c.s, c.n, w.wt FROM c JOIN w USING (s)),
+        a AS (
+          SELECT s, n, wt FROM j x
+          WHERE NOT EXISTS (
+            SELECT 1 FROM j y
+            WHERE y.wt * x.n > x.wt * y.n
+               OR (y.wt * x.n = x.wt * y.n AND y.s < x.s)
+          )
+        ),
+        r AS (
+          SELECT j.s, greatest(1, (10000 * j.wt * a.n) // (j.n * a.wt))
+                 AS rate_bp
+          FROM j, a
+        )
+        SELECT d.doc_id, d.lang, d.n_tok
+        FROM tok d JOIN r ON d.lang = r.s
         WHERE CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
                    AS BIGINT) % 10000 < r.rate_bp
         """,

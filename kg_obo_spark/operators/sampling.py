@@ -344,3 +344,56 @@ def repeat_plan(
         h.alias("order_key"),
         shard.cast("int").alias("shard"),
     )
+
+
+def mixture_sample_rates_tokens(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, int],
+    token_col: str,
+) -> dict[str, int]:
+    """Token-budget variant of :func:`mixture_sample_rates`: rates derived
+    so the EXPECTED KEPT TOKENS per stratum follow the target proportions —
+    the unit a pretraining mixture is actually specified in ("X% of
+    training tokens from domain d"), where the row-count variant balances
+    document counts and silently skews token shares when domains differ in
+    document length (code and web prose differ ~3-5x).
+
+    Identical exact-integer derivation (:func:`_rates_from_counts`) with
+    per-stratum TOKEN TOTALS standing in for row counts. Thinning is still
+    per-document (hash-mod of the id), and the md5 bucket is independent of
+    document length, so kept tokens per stratum ∝ rate x total tokens in
+    expectation; the realized token share concentrates around the target by
+    document-count law of large numbers (a per-document exact-token cut
+    would have to split documents — a different operator,
+    :func:`~kg_obo_spark.operators.chunking.chunk_documents`).
+
+    100 TB shape: ONE map-side-combined sum aggregation; #strata rows
+    collected; the applied filter stays pure codegen.
+    """
+    for k, w in weights.items():
+        if w <= 0 or w != int(w):
+            raise ValueError(f"weight for {k!r} must be a positive int, got {w}")
+    weights = {k: int(w) for k, w in weights.items()}
+    totals = {
+        r["s"]: r["t"]
+        for r in df.filter(F.col(strata_col).isin(list(weights)))
+        .groupBy(F.col(strata_col).alias("s"))
+        .agg(F.sum(F.col(token_col)).cast("long").alias("t"))
+        .collect()
+    }
+    return _rates_from_counts(totals, weights)
+
+
+def mixture_resample_tokens(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weights: dict[str, int],
+    token_col: str,
+) -> DataFrame:
+    """Apply :func:`mixture_sample_rates_tokens`: resample toward the target
+    TOKEN mixture (downsampling only, token-scarcest-per-weight stratum kept
+    whole, engine/partitioning/rerun reproducible)."""
+    rates = mixture_sample_rates_tokens(df, strata_col, weights, token_col)
+    return hash_mod_sample_by(df, key_col, strata_col, rates, default_bp=0)

@@ -366,3 +366,37 @@ def test_repeat_plan_zero_exchange_and_validation(spark):
         repeat_plan(df, "score_bp", tiers=[])
     with _pytest.raises(ValueError, match="n_repeats"):
         repeat_plan(df, "score_bp", tiers=[(0, -1)])
+
+
+def test_mixture_tokens_balances_token_shares(spark):
+    from kg_obo_spark.operators.sampling import (
+        mixture_resample_tokens,
+        mixture_sample_rates_tokens,
+    )
+
+    # stratum a: 100 docs x 100 tokens; stratum b: 1000 docs x 10 tokens —
+    # equal TOKEN mass, so equal weights must keep both (nearly) whole,
+    # where the count variant would thin a to 100/1000
+    rows = [(i, "a", 100) for i in range(100)] + [
+        (1000 + i, "b", 10) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tok long")
+    rates = mixture_sample_rates_tokens(df, "lang", {"a": 1, "b": 1}, "n_tok")
+    assert rates == {"a": 10000, "b": 10000}
+    # 2:1 token target thins b's tokens to half of a's
+    kept = mixture_resample_tokens(df, "doc_id", "lang", {"a": 2, "b": 1}, "n_tok")
+    tok = {
+        r.lang: r.t
+        for r in kept.groupBy("lang").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    assert tok["a"] == 10000  # anchor kept whole
+    assert abs(tok["b"] - 5000) < 600  # ~half of a's token mass
+    # deterministic across partitionings
+    k1 = sorted(r.doc_id for r in kept.collect())
+    k2 = sorted(
+        r.doc_id
+        for r in mixture_resample_tokens(
+            df.repartition(7), "doc_id", "lang", {"a": 2, "b": 1}, "n_tok"
+        ).collect()
+    )
+    assert k1 == k2
