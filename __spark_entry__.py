@@ -315,6 +315,23 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["fast", "scan", "table"], k=25)
 
 
+def q_bm25_topk_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25 over a query TABLE (three queries sharing terms) — the
+    one-corpus-pass shape for retrieval-eval sweeps: term df stats join
+    in-plan (broadcast, no driver CASE), (doc,term) counts / doc lengths /
+    tf join / per-(query,doc) sum all ride ONE hash(id) exchange (subset
+    rule), per-query top-10 via the salted two-level window."""
+    from kg_obo_spark.operators.retrieval import bm25_topk_queries
+
+    docs = _t(spark, sf_dir, "documents")
+    qt = spark.createDataFrame(
+        [(0, "fast"), (0, "scan"), (1, "scan"), (1, "table"),
+         (2, "fast"), (2, "scan"), (2, "table")],
+        "query_id long, term string",
+    )
+    return bm25_topk_queries(docs, qt, k=10)
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The statistic BPE tokenizer training is built from: adjacent
     character-pair counts weighted by corpus word frequency (merge round 0
@@ -2222,6 +2239,7 @@ _ROTATED_OUT = (
     "kg_negative_samples",
     "bpe_pair_counts",
     "bm25_topk",
+    "bm25_topk_queries",
     "mixture_resample_tokens",
     "mixture_temperature",
     "sample_quality_weighted",
@@ -2261,6 +2279,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": q_kg_negative_samples,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_queries": q_bm25_topk_queries,
         "kg_curie_normalize": q_kg_curie_normalize,
         "kg_id_update_map": q_kg_id_update_map,
         "cc_nation_region": q_cc_nation_region,
@@ -3364,6 +3383,49 @@ def all_oracle_sql() -> dict[str, str]:
         SELECT doc_id AS id, CAST(sum(c) AS BIGINT) AS score_fp
         FROM contrib GROUP BY doc_id
         ORDER BY score_fp DESC, id LIMIT 25
+        """,
+        # batch BM25 over a query table: same cleared-fraction constants,
+        # per-(query,doc) sum, per-query top-10 window
+        "bm25_topk_queries": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    w -> w <> '')) AS tok
+          FROM documents
+        ),
+        qt(query_id, term) AS (
+          VALUES (0, 'fast'), (0, 'scan'), (1, 'scan'), (1, 'table'),
+                 (2, 'fast'), (2, 'scan'), (2, 'table')
+        ),
+        st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                      (SELECT count(*) FROM toks) AS t),
+        g AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+               FROM g GROUP BY 1),
+        dfr AS (SELECT tok, count(*) AS df
+                FROM g JOIN (SELECT DISTINCT term FROM qt) q
+                  ON g.tok = q.term GROUP BY 1),
+        idf AS (SELECT tok, (1000 * (st.n - df + 1)) // (df + 1) AS idf_fp
+                FROM dfr, st),
+        contrib AS (
+          SELECT qt.query_id, g.doc_id,
+                 (i.idf_fp * (44 * st.t * g.tf)) //
+                 (20 * st.t * g.tf + 6 * st.t + 18 * dl.dl * st.n) AS c
+          FROM g JOIN idf i ON g.tok = i.tok
+          JOIN qt ON qt.term = g.tok
+          JOIN dl USING (doc_id), st
+        ),
+        sc AS (
+          SELECT CAST(query_id AS BIGINT) AS query_id, doc_id AS id,
+                 CAST(sum(c) AS BIGINT) AS score_fp
+          FROM contrib GROUP BY 1, 2
+        )
+        SELECT query_id, id, score_fp, rank FROM (
+          SELECT query_id, id, score_fp,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score_fp DESC, id ASC) AS rank
+          FROM sc) t
+        WHERE rank <= 10
         """,
         # BPE merge round 0: word-frequency-weighted adjacent char pairs
         "bpe_pair_counts": r"""

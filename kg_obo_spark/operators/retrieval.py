@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 
 from kg_obo_spark.functions.text import tokens
 
-__all__ = ["bm25_scores", "bm25_topk"]
+__all__ = ["bm25_scores", "bm25_topk", "bm25_topk_queries"]
 
 
 def bm25_scores(
@@ -146,3 +146,103 @@ def bm25_topk(
         .orderBy(F.desc("score_fp"), "id")
         .limit(k)
     )
+
+
+def bm25_topk_queries(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    k1: tuple[int, int] = (6, 5),
+    b: tuple[int, int] = (3, 4),
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """Batch BM25 over a QUERY TABLE — (query_id, id, score_fp, rank),
+    top-``k`` per query by (score DESC, id ASC). This is the shape for
+    scoring thousands of queries in one corpus pass (RAG context mining,
+    retrieval-eval sweeps), where :func:`bm25_topk` takes one literal term
+    list.
+
+    ``queries``: (query_id, term) rows; duplicate terms within a query are
+    collapsed (set semantics, same as the literal variant's distinct-terms
+    contract). Arithmetic is the module's exact fixed-point recurrence,
+    unchanged.
+
+    100 TB shape: ONE corpus pass — the token stream clusters by document
+    once (``repartition(id)``), and (doc, term) counts, doc lengths, the
+    tf join, the query join, and the per-(query, doc) score sum ALL ride
+    that hash(id) exchange via the subset rule (query_id joins in
+    broadcast, so (query_id, id) grouping is still clustered by id). Term
+    df stats are an in-plan broadcast join (no driver CASE literal — the
+    term dimension can be thousands wide). Per-query top-k is
+    :func:`~kg_obo_spark.operators.similarity.salted_topk` — no
+    single-reducer window.
+    """
+    p, q = k1
+    r, s = b
+    if p <= 0 or q <= 0 or r < 0 or s <= 0 or r > s:
+        raise ValueError(f"k1={k1} must be positive, b={b} must be in [0,1]")
+    qt = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(term_col).alias("term"),
+        )
+        .distinct()
+        .localCheckpoint()  # tiny; fans into df-stats and the score join
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    n_docs = df.count()
+    t_total = toks.count()
+    terms = qt.select("term").distinct()
+    idf = (
+        toks.join(F.broadcast(terms), toks["tok"] == terms["term"])
+        .groupBy("tok")
+        .agg(F.countDistinct("id").alias("df"))
+        .select(
+            "tok",
+            F.expr(
+                f"(CAST({int(idf_scale)} AS BIGINT) * ({n_docs} - df + 1))"
+                f" div (df + 1)"
+            ).alias("idf_fp"),
+        )
+    )
+    g = (
+        toks.repartition("id")
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()  # fans into dl and the query-term slice
+    )
+    dl = g.groupBy("id").agg(F.sum("tf").alias("dl"))
+    numer_n = s * (p + q)
+    a_c, b_c, c_c = q * s, p * (s - r), p * r
+    scored = (
+        g.join(F.broadcast(idf), "tok")
+        .join(F.broadcast(qt), F.col("tok") == F.col("term"))
+        .join(dl, "id")
+        .select(
+            "query_id",
+            "id",
+            F.expr(
+                f"(idf_fp * (CAST({numer_n} AS BIGINT) * {t_total} * tf))"
+                f" div (CAST({a_c} AS BIGINT) * {t_total} * tf"
+                f"      + CAST({b_c} AS BIGINT) * {t_total}"
+                f"      + CAST({c_c} AS BIGINT) * dl * {n_docs})"
+            ).alias("c"),
+        )
+        .groupBy("query_id", "id")
+        .agg(F.sum("c").cast("long").alias("score_fp"))
+    )
+    from pyspark.sql.window import Window
+
+    from kg_obo_spark.operators.similarity import salted_topk
+
+    top = salted_topk(scored, "query_id", "score_fp", "id", k)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_fp"), F.col("id").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -94,3 +94,38 @@ def test_bm25_validates_inputs(spark):
     # query terms absent from the corpus -> empty result, stable schema
     out = bm25_scores(df, ["zzzmissing"])
     assert out.count() == 0 and out.columns == ["id", "score_fp"]
+
+
+def test_bm25_topk_queries_matches_literal_variant(spark):
+    from kg_obo_spark.operators.retrieval import bm25_topk_queries
+
+    rows = [
+        (0, "fast scan of the table"),
+        (1, "the table holds a fast index"),
+        (2, "scan scan scan"),
+        (3, "nothing relevant here"),
+        (4, "fast fast table scan fast"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qt = spark.createDataFrame(
+        [(0, "fast"), (0, "scan"), (1, "table"), (1, "fast"),
+         (1, "fast")],  # duplicate term collapses (set semantics)
+        "query_id long, term string",
+    )
+    out = bm25_topk_queries(docs, qt, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, terms in ((0, ["fast", "scan"]), (1, ["table", "fast"])):
+        lit = bm25_topk(docs, terms, k=3).collect()
+        got = sorted(((r.id, r.score_fp, r.rank) for r in by_q[qid]))
+        exp = sorted(
+            (r.id, r.score_fp, i + 1)
+            for i, r in enumerate(
+                sorted(lit, key=lambda x: (-x.score_fp, x.id))
+            )
+        )
+        assert got == exp, f"query {qid}"
+    # deterministic across partitionings
+    again = bm25_topk_queries(docs.repartition(4), qt, k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
