@@ -1643,6 +1643,25 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(emb, anchors, k=5, band_lo=0.10, band_hi=0.35)
 
 
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality report in exact integers: recall@5 + reciprocal
+    rank of the quantized ANN run (candidates=10, so genuinely approximate)
+    against the exact cosine top-5 as truth — the tuning loop every
+    ANN/LSH/BM25 configuration runs. One (query,neighbor) join of two
+    queries-x-k frames + per-query aggs; floor-e6/floor-div integers, so
+    the report itself is engine-exact."""
+    from kg_obo_spark.operators.retrieval import retrieval_eval
+    from kg_obo_spark.operators.similarity import ann_quantized_topk, cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    results = ann_quantized_topk(emb, queries, k=5, candidates=10)
+    truth = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    return retrieval_eval(results, truth)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     # use_codecs=False pins the deterministic hash-derived features so the
@@ -2185,6 +2204,7 @@ _ROTATED_OUT = (
     "ann_ivf",
     "ann_quantized_topk",
     "hard_negatives",
+    "retrieval_eval",
     "doc_novelty",
     "repeat_plan",
     "emb_near_dup_lsh",
@@ -2263,6 +2283,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_quantized_topk": q_ann_quantized_topk,
         "hard_negatives": q_hard_negatives,
+        "retrieval_eval": q_retrieval_eval,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         # --- new this round
         "q2_min_price_supplier": q2_min_price_supplier,
@@ -5502,6 +5523,75 @@ def all_oracle_sql() -> dict[str, str]:
                  AS rank
           FROM rer) t
         WHERE rank <= 5
+        """,
+        # retrieval eval: the quantized-ANN chain (C=10 candidates, top-5
+        # rerank) scored against the exact rounded-cosine top-5 truth;
+        # recall/rr as exact floor-div integers
+        "retrieval_eval": f"""
+        WITH vecs AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        qt AS (
+          SELECT vec_id, v,
+                 greatest(list_max(list_transform(v, x -> abs(x))),
+                          1e-30) AS scale
+          FROM vecs
+        ),
+        qv AS (
+          SELECT vec_id, v, scale,
+                 list_transform(v, x -> floor(127.0 * x / scale)) AS q
+          FROM qt
+        ),
+        qry AS (SELECT vec_id AS query_id, v AS qvv, q AS qq
+                FROM qv WHERE vec_id < 3),
+        cand AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT r.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY r.query_id
+                     ORDER BY CAST(floor(1000000.0 * c.scale *
+                                         list_dot_product(c.q, r.qq))
+                              AS BIGINT) DESC,
+                              c.vec_id ASC) AS rn
+            FROM qv c CROSS JOIN qry r) t
+          WHERE rn <= 10
+        ),
+        res AS (
+          SELECT query_id, neighbor_id, rank FROM (
+            SELECT cd.query_id, cd.neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY cd.query_id
+                     ORDER BY CAST(floor(1000000.0 *
+                            ({_cos_sql("nv.v", "r.qvv")})) AS BIGINT) DESC,
+                            cd.neighbor_id ASC) AS rank
+            FROM cand cd
+            JOIN vecs nv ON nv.vec_id = cd.neighbor_id
+            JOIN qry r ON r.query_id = cd.query_id) t
+          WHERE rank <= 5
+        ),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT a.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY a.query_id
+                     ORDER BY round({_cos_sql("c.v", "a.qvv")}, 6) DESC,
+                              c.vec_id ASC) AS rk
+            FROM vecs c CROSS JOIN qry a) t
+          WHERE rk <= 5
+        ),
+        nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+               FROM exact GROUP BY 1),
+        m AS (SELECT r.query_id, CAST(count(*) AS BIGINT) AS hits,
+                     CAST(min(r.rank) AS BIGINT) AS f
+              FROM res r JOIN exact e
+                ON e.query_id = r.query_id
+               AND e.neighbor_id = r.neighbor_id
+              GROUP BY 1)
+        SELECT nt.query_id, nt.n_truth,
+               coalesce(m.hits, 0) AS hits,
+               (1000000 * coalesce(m.hits, 0)) // nt.n_truth AS recall_e6,
+               coalesce(1000000 // m.f, 0) AS rr_e6
+        FROM nt LEFT JOIN m ON m.query_id = nt.query_id
         """,
         # hard-negative mining: exact floor-e6 cosine band [0.10, 0.35)
         # per anchor, top-5 by (sim_e6 DESC, id) — the salted two-level

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 
 from kg_obo_spark.functions.text import tokens
 
-__all__ = ["bm25_scores", "bm25_topk", "bm25_topk_queries"]
+__all__ = ["bm25_scores", "bm25_topk", "bm25_topk_queries", "retrieval_eval"]
 
 
 def bm25_scores(
@@ -246,3 +246,62 @@ def bm25_topk_queries(
         F.desc("score_fp"), F.col("id").asc()
     )
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def retrieval_eval(
+    results: DataFrame,
+    truth: DataFrame,
+    query_id_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Retrieval quality per query, in exact integers: ``(query_id,
+    n_truth, hits, recall_e6, rr_e6)`` where ``recall_e6 = floor(1e6 *
+    hits / n_truth)`` and ``rr_e6 = floor(1e6 / first_relevant_rank)``
+    (0 when no returned row is relevant) — recall@k and reciprocal rank,
+    the two numbers every ANN/LSH/BM25 configuration is tuned against.
+
+    ``results``: (query_id, neighbor_id, rank) — an operator output such as
+    :func:`bm25_topk_queries`, :func:`~kg_obo_spark.operators.similarity.
+    ann_quantized_topk` or ``ivf_topk``. ``truth``: (query_id, neighbor_id)
+    relevant pairs (e.g. the exact top-k, or labeled qrels). Every truth
+    query gets a row — a query the results missed entirely scores 0/0.
+
+    100 TB shape: one (query, neighbor)-keyed join of two already-small
+    frames (both bounded by queries x k) + per-query aggregations riding
+    the same clustering; integer arithmetic end to end, so the report is
+    engine-exact (oracle-able) and rerun-stable.
+    """
+    res = results.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(neighbor_col).alias("neighbor_id"),
+        F.col(rank_col).cast("long").alias("rank"),
+    )
+    tru = truth.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(neighbor_col).alias("neighbor_id"),
+    ).distinct()
+    n_truth = tru.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth")
+    )
+    matched = res.join(tru, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("hits"),
+        F.min("rank").alias("_first"),
+    )
+    return (
+        n_truth.join(matched, "query_id", "left")
+        .select(
+            "query_id",
+            "n_truth",
+            F.coalesce("hits", F.lit(0).cast("long")).alias("hits"),
+            F.expr(
+                "div(1000000 * coalesce(hits, CAST(0 AS BIGINT)), n_truth)"
+            ).alias("recall_e6"),
+            F.coalesce(
+                F.expr("div(CAST(1000000 AS BIGINT), _first)"),
+                F.lit(0).cast("long"),
+            ).alias("rr_e6"),
+        )
+    )

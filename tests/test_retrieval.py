@@ -129,3 +129,25 @@ def test_bm25_topk_queries_matches_literal_variant(spark):
     # deterministic across partitionings
     again = bm25_topk_queries(docs.repartition(4), qt, k=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_retrieval_eval_hand_case(spark):
+    from kg_obo_spark.operators.retrieval import retrieval_eval
+
+    results = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (1, 30, 1), (1, 31, 2)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    truth = spark.createDataFrame(
+        [(0, 11), (0, 12), (1, 40), (2, 50)],
+        "query_id long, neighbor_id long",
+    )
+    out = {r.query_id: r for r in retrieval_eval(results, truth).collect()}
+    # q0: one of two truths found, first relevant at rank 2
+    assert (out[0].n_truth, out[0].hits) == (2, 1)
+    assert out[0].recall_e6 == 500_000 and out[0].rr_e6 == 500_000
+    # q1: returned rows are all irrelevant
+    assert (out[1].hits, out[1].recall_e6, out[1].rr_e6) == (0, 0, 0)
+    # q2: no results at all — still reported
+    assert (out[2].n_truth, out[2].hits, out[2].rr_e6) == (1, 0, 0)
+    assert set(out) == {0, 1, 2}
