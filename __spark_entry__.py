@@ -1643,6 +1643,29 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(emb, anchors, k=5, band_lo=0.10, band_hi=0.35)
 
 
+def q_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF x int8 composition (FAISS IVF,SQ8 shape): md5-seeded cells +
+    nprobe=3 partition pruning, int8 integer-dot candidate scan inside the
+    probed cells, exact-cosine rerank of n_queries x 20 rows — the two ANN
+    scale levers multiplied (nprobe/n_cells of a ~4x smaller scan). Oracle
+    mirrors centroid selection, assignment, probe, quantization, candidate
+    ranking, and rerank stage by stage."""
+    from kg_obo_spark.operators.similarity import (
+        deterministic_centroids_md5,
+        ivf_quantized_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = deterministic_centroids_md5(emb, n_centroids=8)
+    return ivf_quantized_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=3, candidates=20,
+        centroids=cents,
+    )
+
+
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality report in exact integers: recall@5 + reciprocal
     rank of the quantized ANN run (candidates=10, so genuinely approximate)
@@ -2205,6 +2228,7 @@ _ROTATED_OUT = (
     "ann_quantized_topk",
     "hard_negatives",
     "retrieval_eval",
+    "ann_ivf_quantized",
     "doc_novelty",
     "repeat_plan",
     "emb_near_dup_lsh",
@@ -2284,6 +2308,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized_topk": q_ann_quantized_topk,
         "hard_negatives": q_hard_negatives,
         "retrieval_eval": q_retrieval_eval,
+        "ann_ivf_quantized": q_ann_ivf_quantized,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         # --- new this round
         "q2_min_price_supplier": q2_min_price_supplier,
@@ -5522,6 +5547,85 @@ def all_oracle_sql() -> dict[str, str]:
                                     ORDER BY sim_e6 DESC, neighbor_id ASC)
                  AS rank
           FROM rer) t
+        WHERE rank <= 5
+        """,
+        # IVF x int8: md5 centroid selection + float-cosine argmax
+        # assignment + nprobe=3 probe (the ann_ivf CTEs), int8 candidate
+        # scan inside probed cells, exact rerank top-5
+        "ann_ivf_quantized": f"""
+        WITH sel AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+        ),
+        cents AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER)
+                 AS centroid_id, cv
+          FROM sel
+        ),
+        vecs AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        qz AS (
+          SELECT vec_id, v,
+                 greatest(list_max(list_transform(v, x -> abs(x))),
+                          1e-30) AS scale
+          FROM vecs
+        ),
+        qv AS (
+          SELECT vec_id, v, scale,
+                 list_transform(v, x -> floor(127.0 * x / scale)) AS q
+          FROM qz
+        ),
+        assign AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT x.vec_id, c.centroid_id,
+                   row_number() OVER (
+                     PARTITION BY x.vec_id
+                     ORDER BY {_cos_sql("x.v", "c.cv")} DESC,
+                              c.centroid_id ASC) AS rn
+            FROM vecs x CROSS JOIN cents c) t
+          WHERE rn = 1
+        ),
+        qry AS (SELECT vec_id AS query_id, v AS qvv, q AS qq
+                FROM qv WHERE vec_id < 3),
+        qcells AS (
+          SELECT query_id, centroid_id FROM (
+            SELECT r.query_id, c.centroid_id,
+                   row_number() OVER (
+                     PARTITION BY r.query_id
+                     ORDER BY {_cos_sql("r.qvv", "c.cv")} DESC,
+                              c.centroid_id ASC) AS rn
+            FROM qry r CROSS JOIN cents c) t
+          WHERE rn <= 3
+        ),
+        cand AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT qc.query_id, a.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY qc.query_id
+                     ORDER BY CAST(floor(1000000.0 * e.scale *
+                                         list_dot_product(e.q, r.qq))
+                              AS BIGINT) DESC,
+                              a.vec_id ASC) AS rn
+            FROM assign a
+            JOIN qcells qc ON a.centroid_id = qc.centroid_id
+            JOIN qv e ON e.vec_id = a.vec_id
+            JOIN qry r ON r.query_id = qc.query_id) t
+          WHERE rn <= 20
+        )
+        SELECT query_id, neighbor_id, sim_e6, rank FROM (
+          SELECT cd.query_id, cd.neighbor_id,
+                 CAST(floor(1000000.0 *
+                      ({_cos_sql("nv.v", "r.qvv")})) AS BIGINT) AS sim_e6,
+                 row_number() OVER (
+                   PARTITION BY cd.query_id
+                   ORDER BY CAST(floor(1000000.0 *
+                          ({_cos_sql("nv.v", "r.qvv")})) AS BIGINT) DESC,
+                          cd.neighbor_id ASC) AS rank
+          FROM cand cd
+          JOIN vecs nv ON nv.vec_id = cd.neighbor_id
+          JOIN qry r ON r.query_id = cd.query_id) t
         WHERE rank <= 5
         """,
         # retrieval eval: the quantized-ANN chain (C=10 candidates, top-5

@@ -695,6 +695,7 @@ def quantize_embeddings(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     levels: int = 127,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, vec, qvec array<long>, scale double): per-vector symmetric
     scalar quantization to the int8 range — ``q_i = floor(levels * v_i /
@@ -716,6 +717,7 @@ def quantize_embeddings(
     staged = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
+        *[F.col(c) for c in keep_cols],
         F.greatest(
             F.array_max(
                 F.transform(vec_col, lambda x: F.abs(x.cast("double")))
@@ -726,6 +728,7 @@ def quantize_embeddings(
     return staged.select(
         id_col,
         vec_col,
+        *keep_cols,
         F.transform(
             vec_col,
             lambda x: F.floor(
@@ -921,3 +924,104 @@ def hard_negatives(
         F.col("sim_e6").desc(), F.col("neighbor_id").asc()
     )
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def ivf_quantized_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    candidates: int = 50,
+    levels: int = 127,
+    n_salts: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF x scalar-quantization composition (the FAISS ``IVF,SQ8`` shape):
+    both ANN scale levers at once — partition pruning (only the query's
+    ``nprobe`` cells of ``n_centroids`` are scanned: ~nprobe/n_centroids of
+    the corpus) AND the int8 representation inside each probed cell (the
+    :func:`ann_quantized_topk` integer-dot candidate scan, ~4x fewer bytes)
+    — finished by the exact-cosine rerank of ``n_queries x candidates``
+    rows. (query_id, neighbor_id, sim_e6, rank), ranking and candidate
+    keys exact integers end to end, so the chain is oracle-verifiable with
+    deterministic centroids.
+
+    At 100 TB the assignment table is written partitioned by centroid_id
+    with ``qvec``/``scale`` materialized (:func:`build_ivf_index` layout +
+    quantized columns): a probe then reads nprobe/n_centroids of a 4x
+    smaller corpus — the two factors multiply.
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else deterministic_centroids(embeddings, n_centroids, id_col, vec_col)
+    )
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    qe = quantize_embeddings(
+        assigned, id_col, vec_col, levels, keep_cols=("centroid_id",)
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+    )
+    qq = quantize_embeddings(q, "query_id", "qv", levels).select(
+        "query_id", F.col("qvec").alias("q_qvec")
+    )
+    qcells = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "centroid_id",
+            cosine(F.col("qv"), F.col("centroid_vec")).alias("csim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("csim").desc(), F.col("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .join(qq, "query_id")
+        .select("query_id", "centroid_id", "q_qvec")
+    )
+    approx_fp = F.floor(
+        F.lit(1_000_000.0)
+        * F.col("scale")
+        * _idot(F.col("qvec"), F.col("q_qvec")).cast("double")
+    ).cast("long")
+    scored = qe.join(F.broadcast(qcells), "centroid_id").select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        approx_fp.alias("approx_fp"),
+    )
+    cand = salted_topk(
+        scored, "query_id", "approx_fp", "neighbor_id", candidates, n_salts
+    ).select("query_id", "neighbor_id")
+    qv = F.broadcast(
+        q.select("query_id", F.col("qv"))
+    )
+    rer = (
+        F.broadcast(cand)
+        .join(
+            embeddings.select(F.col(id_col).alias("neighbor_id"), vec_col),
+            "neighbor_id",
+        )
+        .join(qv, "query_id")
+    )
+    sim_e6 = F.floor(
+        F.lit(1_000_000.0) * cosine(F.col(vec_col), F.col("qv"))
+    ).cast("long")
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("sim_e6").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.select("query_id", "neighbor_id", sim_e6.alias("sim_e6"))
+        .withColumn("rank", F.row_number().over(w_k).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim_e6", "rank")
+    )

@@ -396,3 +396,39 @@ def test_hard_negatives_band_and_replay(spark):
         expect = [i for i, _ in sorted(band.items(), key=lambda kv: (-kv[1], kv[0]))[:4]]
         got = [r["neighbor_id"] for r in sorted(rows, key=lambda r: r["rank"]) if r["query_id"] == qid]
         assert got == expect
+
+
+def test_ivf_quantized_topk_recall_and_cells(spark):
+    from kg_obo_spark.operators.similarity import (
+        ivf_assign,
+        ivf_quantized_topk,
+    )
+
+    emb = _emb(spark, n=80)
+    q = _queries(emb)
+    out = ivf_quantized_topk(
+        emb, q, k=5, n_centroids=4, nprobe=4, candidates=80
+    )
+    rows = out.collect()
+    # full probe + full candidates == exact top-k sets
+    es = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=5).collect()}
+    assert {(r["query_id"], r["neighbor_id"]) for r in rows} == es
+    # pruned probe returns only vectors from probed cells, self at rank 1
+    pruned = ivf_quantized_topk(
+        emb, q, k=5, n_centroids=4, nprobe=1, candidates=20
+    ).collect()
+    cents = deterministic_centroids(emb, 4)
+    cell = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(emb, cents).collect()
+    }
+    top1 = {r["query_id"]: r["neighbor_id"] for r in pruned if r["rank"] == 1}
+    assert top1 == {0: 0, 1: 1}  # self lives in the query's own best cell
+    for r in pruned:
+        # every returned neighbor shares the query's probed (best) cell
+        assert cell[r["neighbor_id"]] == cell[r["query_id"]]
+    # deterministic under repartition
+    again = ivf_quantized_topk(
+        emb.repartition(7), q, k=5, n_centroids=4, nprobe=1, candidates=20
+    ).collect()
+    assert sorted(map(tuple, pruned)) == sorted(map(tuple, again))
