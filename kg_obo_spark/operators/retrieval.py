@@ -171,13 +171,14 @@ def bm25_topk_queries(
     contract). Arithmetic is the module's exact fixed-point recurrence,
     unchanged.
 
-    100 TB shape: ONE corpus pass — the token stream clusters by document
-    once (``repartition(id)``), and (doc, term) counts, doc lengths, the
-    tf join, the query join, and the per-(query, doc) score sum ALL ride
-    that hash(id) exchange via the subset rule (query_id joins in
-    broadcast, so (query_id, id) grouping is still clustered by id). Term
-    df stats are an in-plan broadcast join (no driver CASE literal — the
-    term dimension can be thousands wide). Per-query top-k is
+    100 TB shape: the corpus is tokenized and clustered by document ONCE
+    (``repartition(id)`` into the checkpointed (doc, term, tf) frame);
+    N / T / per-term df all derive from that frame, never from a second
+    text pass, and df stats join in-plan (broadcast — no driver CASE
+    literal, the term dimension can be thousands wide). Everything after
+    the checkpoint operates on tf-table- or query-bounded frames (the
+    checkpoint drops partitioning metadata, so those small aggregations
+    re-exchange — corpus-independent cost). Per-query top-k is
     :func:`~kg_obo_spark.operators.similarity.salted_topk` — no
     single-reducer window.
     """
@@ -196,13 +197,22 @@ def bm25_topk_queries(
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     )
+    # ONE corpus tokenization: g is checkpointed, and N / T / per-term df
+    # all derive from it (T = sum(tf); df = rows per tok since g is
+    # distinct (id, tok)) — no second pass over the text
+    g = (
+        toks.repartition("id")
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()  # fans into stats, dl, and the query-term slice
+    )
     n_docs = df.count()
-    t_total = toks.count()
+    t_total = g.agg(F.sum("tf")).collect()[0][0] or 0
     terms = qt.select("term").distinct()
     idf = (
-        toks.join(F.broadcast(terms), toks["tok"] == terms["term"])
+        g.join(F.broadcast(terms), g["tok"] == terms["term"])
         .groupBy("tok")
-        .agg(F.countDistinct("id").alias("df"))
+        .agg(F.count(F.lit(1)).alias("df"))
         .select(
             "tok",
             F.expr(
@@ -210,12 +220,6 @@ def bm25_topk_queries(
                 f" div (df + 1)"
             ).alias("idf_fp"),
         )
-    )
-    g = (
-        toks.repartition("id")
-        .groupBy("id", "tok")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint()  # fans into dl and the query-term slice
     )
     dl = g.groupBy("id").agg(F.sum("tf").alias("dl"))
     numer_n = s * (p + q)
