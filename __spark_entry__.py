@@ -57,6 +57,7 @@ from kg_obo_spark.operators.multimodal import (
     payload_stats,
 )
 from kg_obo_spark.operators.similarity import cosine_topk, ivf_topk
+from kg_obo_spark.partitioning import ensure_scan_parallelism
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -812,7 +813,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc 1214 at sf0.1); floor of the identical IEEE double is identical
     from kg_obo_spark.functions.text import quality_score_raw
 
-    d = _t(spark, sf_dir, "documents")
+    # r8: the single-row-group documents table otherwise evaluates the whole
+    # regex-heavy score projection on ONE scan task (guide §2.5); no-op when
+    # the scan is already parallel
+    d = ensure_scan_parallelism(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.floor(quality_score_raw(F.col("text")) * 1e6)
@@ -1288,7 +1292,8 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    # r8 scan spread: the md5-fingerprint projection is the per-row hot loop
+    d = ensure_scan_parallelism(_t(spark, sf_dir, "documents"))
     g = exact_duplicates(d)
     return g.select(
         "fingerprint",
@@ -1322,7 +1327,9 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = cosine_topk(emb, queries, k=5)
+    # r8 scan spread on the scored (big) side only; the 3-row query side is
+    # broadcast by the operator
+    out = cosine_topk(ensure_scan_parallelism(emb), queries, k=5)
     return out.select("query_id", "neighbor_id", "rank")
 
 

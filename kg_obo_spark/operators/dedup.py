@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kg_obo_spark.functions.text import fingerprint_md5, py_tokens, tokens
+from kg_obo_spark.partitioning import ensure_scan_parallelism
 
 # ------------------------------------------------------------------ exact
 
@@ -103,8 +104,12 @@ def minhash_signatures(
     O(shingles x num_hashes) in C.
 
     Docs with zero shingles (< ``shingle_k`` tokens) are dropped, matching the
-    explode/groupBy semantics this replaces."""
-    sh = df.select(F.col(id_col), F.col(text_col))
+    explode/groupBy semantics this replaces.
+
+    r8: the projected input is spread to ``defaultParallelism`` when the scan
+    is underfilled (guide §2.5 input skew — a single-row-group parquet table
+    otherwise runs this whole Python stage on ONE core); no-op at scale."""
+    sh = ensure_scan_parallelism(df.select(F.col(id_col), F.col(text_col)))
     a_params, b_params = _minhash_params(num_hashes)
     # cap the (H, chunk_shingles) working set at ~64 MB per task
     max_chunk_shingles = max(1, (64 << 20) // (num_hashes * 8))
@@ -219,7 +224,7 @@ def minhash_signatures_md5(
                 yield pd.DataFrame({id_col: ids, "signature": sig_rows})
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, text_col).mapInPandas(
+    return ensure_scan_parallelism(df.select(id_col, text_col)).mapInPandas(
         gen, schema=f"{id_col} {id_type}, signature array<long>"
     )
 
@@ -463,7 +468,7 @@ def simhash_frame(
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, text_col).mapInPandas(
+    return ensure_scan_parallelism(df.select(id_col, text_col)).mapInPandas(
         sim, schema=f"{id_col} {id_type}, simhash long"
     )
 
@@ -547,7 +552,7 @@ def simhash_frame_md5(
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, text_col).mapInPandas(
+    return ensure_scan_parallelism(df.select(id_col, text_col)).mapInPandas(
         sim, schema=f"{id_col} {id_type}, simhash long"
     )
 

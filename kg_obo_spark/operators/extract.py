@@ -31,6 +31,7 @@ from pyspark.sql.window import Window
 
 from kg_obo_spark.datagen.ontology import Ontology
 from kg_obo_spark.dictionary import get_matcher
+from kg_obo_spark.partitioning import ensure_scan_parallelism
 
 MENTIONS_SCHEMA = (
     "conv_id string, turn_idx int, start int, end int, "
@@ -152,10 +153,13 @@ def extract_mentions(
                 }
             )
 
-    # only the columns the scan needs — lets Catalyst prune the parquet read
-    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
-        scan, schema=MENTIONS_SCHEMA
-    )
+    # only the columns the scan needs — lets Catalyst prune the parquet read.
+    # r8: spread underfilled scans (single-row-group inputs otherwise run the
+    # whole Arrow stage on one core — guide §2.5); no-op on parallel inputs,
+    # so the fused-pipeline path (extract_turn_terms) keeps its map-only plan.
+    return ensure_scan_parallelism(
+        transcripts.select("conv_id", "turn_idx", "text")
+    ).mapInPandas(scan, schema=MENTIONS_SCHEMA)
 
 
 def extract_turn_terms(

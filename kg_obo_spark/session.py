@@ -70,10 +70,23 @@ def get_spark(
         inner = master.split("[")[-1].rstrip("]")
         shuffle_partitions = cpus if inner == "*" else int(inner)
 
+    # Input split sizing (r8, guide §2.2/§6): the default 128 MB split +
+    # 4 MB open-cost packs the bench's many-small-file parquet inputs into
+    # FAR fewer scan tasks than cores (the 116 MB / 100-file transcripts
+    # corpus planned as 4 splits — the flagship extraction scan then ran on
+    # 4 of 32 cores). Local default 16 MB sizes splits so every multi-MB
+    # input fans out to >= cores tasks; parquet row-group granularity still
+    # bounds single-row-group files (see kg_obo_spark/partitioning.py for
+    # that case). On a real cluster with TB-scale scans raise this back to
+    # 512m-1g (fewer, larger map tasks feeding each shuffle — guide §2.2):
+    # it is an env knob, not a constant.
+    max_partition_bytes = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m")
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
