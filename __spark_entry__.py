@@ -44,7 +44,7 @@ from kg_obo_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_duplicates,
 )
-from kg_obo_spark.operators.extract import extract_mentions
+from kg_obo_spark.operators.extract import extract_mentions, extract_turn_terms
 from kg_obo_spark.operators.graph_stats import degree_frame
 from kg_obo_spark.operators.materialize import (
     build_edges,
@@ -184,21 +184,41 @@ mentions AS (
 """
 
 
+def _doc_turn_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused variant of :func:`_doc_mentions` (r8, guide §2.3/§2.4): the
+    per-doc distinct term set is reduced INSIDE the extraction task
+    (extract_turn_terms — same matcher, per-turn reduce pinned equal to the
+    shuffled per_turn_terms path by tests), so no full-mention-volume rows
+    ever reach an exchange. doc_id is unique per turn, so per-turn distinct
+    == global distinct."""
+    docs = _t(spark, sf_dir, "documents")
+    tr_shape = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("text"),
+    )
+    return extract_turn_terms(
+        ensure_scan_parallelism(tr_shape), _doc_ontology()
+    )
+
+
 def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _doc_mentions(spark, sf_dir).distinct()
+    # rows are already distinct by construction (per-doc distinct term sets,
+    # one doc per turn) — the explode output needs no dedup exchange
+    return _doc_turn_terms(spark, sf_dir).select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.explode("terms").alias("term_id"),
+    )
 
 
 def q_kg_comention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = _doc_mentions(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("conv_id"),
-        F.lit(0).alias("turn_idx"),
-        F.lit(0).alias("start"),
-        F.lit(0).alias("end"),
-        F.lit("").alias("surface"),
-        "term_id",
-        F.lit(1.0).alias("score"),
+    from kg_obo_spark.operators.materialize import pairs_from_per_turn
+
+    return (
+        pairs_from_per_turn(_doc_turn_terms(spark, sf_dir))
+        .select("a", "b")
+        .distinct()
     )
-    return co_mention_pairs(m).select("a", "b").distinct()
 
 
 def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -780,15 +800,24 @@ def q_s5_extract_all_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_window_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'latest version wins' (track_obo_version analog) as row_number."""
+    """'latest version wins' (track_obo_version analog).
+
+    r8 (guide §2.3 'aggregate before you shuffle'): the row_number window
+    shuffled + sorted every order row; the same one-row-per-customer result
+    is max(struct(o_orderdate, o_orderkey)) — lexicographic struct max ==
+    the window's (o_orderdate DESC, o_orderkey DESC) rank-1 row — computed
+    as a hash aggregate with map-side partial aggregation, so the exchange
+    carries <= |customers| partial rows and nothing is sorted. Equivalence
+    parity-checked vs the unchanged DuckDB oracle at 3 SFs + sf1.0."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
     return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", "o_orderdate")
+        o.groupBy("o_custkey")
+        .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("_m"))
+        .select(
+            "o_custkey",
+            F.col("_m.o_orderkey").alias("o_orderkey"),
+            F.col("_m.o_orderdate").alias("o_orderdate"),
+        )
     )
 
 

@@ -198,6 +198,107 @@ def run_mentions_stages(reps: int = 3) -> None:
     print(json.dumps({"sf_dir": SF_DIR, "mentions_stages": res}))
 
 
+def run_pipeline_stages(reps: int = 3) -> None:
+    """Isolate the kg_pipeline legs on the cached bench corpus: the fused
+    extraction scan alone (noop), extract+persist+count, and the edge
+    expansion + distinct count on a pre-persisted per-turn frame."""
+    import bench as benchmod
+    from kg_obo_spark.operators.canonicalize import canonical_map
+    from kg_obo_spark.operators.extract import extract_turn_terms
+    from kg_obo_spark.operators.materialize import edges_from_per_turn
+
+    spark = _spark()
+    onto = benchmod._bench_ontology()
+    tpath = benchmod._ensure_transcripts(spark, benchmod.BENCH_CONVS)
+    tr = spark.read.parquet(tpath)
+    eq = spark.createDataFrame(onto.xrefs, "a string, b string")
+    terms_df = spark.createDataFrame([(t["id"],) for t in onto.terms], "id string")
+    cdict = {
+        r["term_id"]: r["canonical_id"] for r in canonical_map(terms_df, eq).collect()
+    }
+    _noop(extract_turn_terms(tr.limit(2000), onto, cdict))  # warmup
+    res = {"partitions": tr.rdd.getNumPartitions()}
+
+    def best(fn, label):
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            samples.append(round(time.time() - t0, 3))
+        res[label] = {"best": min(samples), "samples": samples}
+        print(json.dumps({label: res[label]}), file=sys.stderr)
+
+    spark.sparkContext.setJobDescription("pipeline: fused scan noop")
+    best(lambda: _noop(extract_turn_terms(tr, onto, cdict)), "scan_noop")
+
+    spark.sparkContext.setJobDescription("pipeline: scan persist+count")
+
+    def persist_count():
+        pt = extract_turn_terms(tr, onto, cdict).persist()
+        pt.count()
+        pt.unpersist()
+
+    best(persist_count, "scan_persist_count")
+
+    pt = extract_turn_terms(tr, onto, cdict).persist()
+    pt.count()
+    spark.sparkContext.setJobDescription("pipeline: edges from persisted pt")
+    best(lambda: edges_from_per_turn(pt, onto).count(), "edges_count")
+    pt.unpersist()
+    print(json.dumps({"pipeline_stages": res}))
+
+
+def run_rev_stages(reps: int = 3) -> None:
+    """Isolate revenue_by_segment: lineitem scan, orders broadcast build via a
+    join probe, the full query."""
+    from pyspark.sql import functions as F
+
+    spark = _spark()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    res = {"li_parts": li.rdd.getNumPartitions(), "o_parts": o.rdd.getNumPartitions()}
+
+    def best(fn, label):
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            samples.append(round(time.time() - t0, 3))
+        res[label] = {"best": min(samples), "samples": samples}
+        print(json.dumps({label: res[label]}), file=sys.stderr)
+
+    best(
+        lambda: _noop(li.select("l_orderkey", "l_extendedprice", "l_discount")),
+        "li_scan",
+    )
+    best(lambda: _noop(o.select("o_orderkey", "o_custkey")), "o_scan")
+    best(
+        lambda: _noop(
+            li.join(o, li.l_orderkey == o.o_orderkey).select(
+                "l_extendedprice", "o_custkey"
+            )
+        ),
+        "li_join_o",
+    )
+    best(
+        lambda: _noop(
+            li.groupBy("l_orderkey").agg(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"),
+                F.count("*").alias("n"),
+            )
+        ),
+        "li_preagg",
+    )
+    import __spark_entry__ as entrymod
+
+    best(
+        lambda: _noop(entrymod.q_revenue_by_segment(spark, SF_DIR)),
+        "full",
+    )
+    print(json.dumps({"rev_stages": res}))
+
+
 def dump_plans(outdir: str, names=None) -> None:
     os.makedirs(outdir, exist_ok=True)
     spark = _spark()
@@ -223,6 +324,10 @@ if __name__ == "__main__":
         run_minhash_stages()
     elif mode == "mentions-stages":
         run_mentions_stages()
+    elif mode == "pipeline-stages":
+        run_pipeline_stages()
+    elif mode == "rev-stages":
+        run_rev_stages()
     elif mode == "plans":
         outdir = sys.argv[2] if len(sys.argv) > 2 else "plans/r08_scratch"
         names = sys.argv[3].split(",") if len(sys.argv) > 3 else None
