@@ -437,12 +437,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-table join (J5 enrichment shape) + grouped revenue."""
+    """3-table join (J5 enrichment shape) + grouped revenue.
+
+    r8 (guide §3.1): the planner broadcast the 1.5M-row orders side (its
+    25 MB on-disk estimate sits under the 64 MB threshold) — building and
+    probing a 1.5M-entry hash relation cost more than shuffling both sides;
+    the shuffle_hash hint picks the shuffled hash join (measured 1.54 ->
+    0.89 s interleaved at sf1.0; also the strategy a >threshold cluster-scale
+    orders table would get). customer stays an explicit broadcast."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
