@@ -335,9 +335,18 @@ def kcore(
         .localCheckpoint()
     )
     n_edges = cur.count()
+    # fixpoint mode iterates until a peel removes nothing; max_rounds is a
+    # runaway guard that FAILS LOUDLY instead of silently returning a
+    # non-converged (core_deg < k possible) frame — r7 ADVICE: a deep-peel
+    # graph (e.g. a long path at k=2 needs ~n/2 rounds) used to exhaust the
+    # cap and break the documented "every returned node has core_deg >= k"
+    # invariant with no error. A graph's peel count is bounded by its node
+    # count, so raise max_rounds for legitimately deep graphs.
     total = rounds if rounds is not None else max_rounds
+    converged = rounds is not None
     for _ in range(total):
         if n_edges == 0:
+            converged = True
             break
         deg = (
             cur.select(F.explode(F.array("u", "v")).alias("id"))
@@ -353,8 +362,15 @@ def kcore(
         )
         n_next = nxt.count()
         if rounds is None and n_next == n_edges:
+            converged = True
             break  # fixpoint: the peel removed nothing
         cur, n_edges = nxt, n_next
+    if not converged and n_edges > 0:
+        raise RuntimeError(
+            f"kcore(k={k}) did not converge within max_rounds={max_rounds} "
+            f"peels ({n_edges} edges still shrinking); raise max_rounds — "
+            "the fixpoint needs at most one round per node on a path graph"
+        )
     return (
         cur.select(F.explode(F.array("u", "v")).alias("id"))
         .groupBy("id")

@@ -73,14 +73,26 @@ def bm25_scores(
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     )
-    # bounded stats pass: N, T scalars + |query| df rows (at deployment
-    # scale these come from table metadata / maintained term-stat tables)
     n_docs = df.count()
-    t_total = toks.count()
+    # r8: ONE corpus tokenization into the checkpointed (id, tok, tf) table;
+    # the N/T/df/max-tf stats all derive from it (the plan discipline
+    # bm25_topk_queries already had — the single-query path used to tokenize
+    # the corpus three times: t_total, df stats, and the tf table).
+    g = (
+        toks.repartition("id")
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()  # fans into stats, dl and tfq below
+    )
+    stats = g.agg(
+        F.sum("tf").alias("t"), F.max("tf").alias("max_tf")
+    ).first()
+    t_total = stats["t"] or 0
+    max_tf = stats["max_tf"] or 0
     df_rows = (
-        toks.filter(F.col("tok").isin(query_terms))
+        g.filter(F.col("tok").isin(query_terms))
         .groupBy("tok")
-        .agg(F.countDistinct("id").alias("df"))
+        .agg(F.count("*").alias("df"))
         .collect()
     )
     idf = {
@@ -96,14 +108,19 @@ def bm25_scores(
         idf_col = F.when(F.col("tok") == F.lit(term), F.lit(idf[term])).otherwise(
             idf_col
         )
-
-    # scoring pass: ONE hash(id) exchange carries everything downstream
-    g = (
-        toks.repartition("id")
-        .groupBy("id", "tok")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint()  # fans into dl and tfq below within one job
+    # r7 ADVICE: the documented int64 precondition is now CHECKED at runtime
+    # from the already-collected scalars (Spark non-ANSI arithmetic wraps
+    # silently, which would corrupt rankings, not crash). max dl <= t_total.
+    numer_chk = max(idf.values()) * s * (p + q) * t_total * max_tf
+    denom_chk = (
+        q * s * t_total * max_tf + p * (s - r) * t_total + p * r * t_total * n_docs
     )
+    if max(numer_chk, denom_chk) >= 2**62:  # 2x safety margin under int64
+        raise ValueError(
+            f"BM25 fixed-point products risk int64 overflow (numerator bound "
+            f"{numer_chk}, denominator bound {denom_chk}); lower idf_scale "
+            f"(={idf_scale}) or score per shard"
+        )
     dl = g.groupBy("id").agg(F.sum("tf").alias("dl"))
     tfq = g.filter(F.col("tok").isin(query_terms))
     numer_n = s * (p + q)

@@ -774,7 +774,12 @@ def salted_topk(
         F.col(score_col).desc(), F.col(tie_col).asc()
     )
     return (
-        df.withColumn("_salt", F.pmod(F.col(tie_col), F.lit(n_salts)))
+        # r7 ADVICE: salt via xxhash64 so ANY orderable tie column spreads —
+        # pmod on a string tie column was null (one salt partition,
+        # silently reinstating the single-reducer bottleneck). The salt
+        # assignment never affects the result set: every global top-k row
+        # is in its salt's top-k for any assignment.
+        df.withColumn("_salt", F.pmod(F.xxhash64(F.col(tie_col)), F.lit(n_salts)))
         .withColumn("_rn", F.row_number().over(w_part))
         .filter(F.col("_rn") <= k)
         .withColumn("_rn2", F.row_number().over(w_full))
@@ -806,6 +811,14 @@ def ann_quantized_topk(
     change the per-query order), floored to e6 fixed point — an exact
     integer sort key over exact inputs, so the candidate SET is
     deterministic at any parallelism and reproducible by the oracle.
+
+    .. note:: (r7 ADVICE) the candidate key approximates the raw INNER
+       PRODUCT while the rerank and ``k`` are by cosine, so on corpora with
+       widely varying vector norms the candidate set is biased toward
+       large-norm vectors and cosine recall degrades. L2-normalize inputs
+       (or raise ``candidates``) for cosine targets with heterogeneous
+       norms; the key itself is pinned by the value oracle and stays
+       as documented.
 
     Scale shape (the reason this exists next to :func:`cosine_topk`):
     - the corpus-sized scan reads the ~4x-smaller quantized representation
