@@ -173,7 +173,11 @@ def rolling_hash_frame(df: DataFrame, text_col: str = "text") -> DataFrame:
             yield pdf.assign(rolling_hash=out)
 
     in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-    return df.mapInPandas(h, schema=f"{in_schema}, rolling_hash string")
+    from kg_obo_spark.partitioning import ensure_scan_parallelism
+
+    return ensure_scan_parallelism(df).mapInPandas(
+        h, schema=f"{in_schema}, rolling_hash string"
+    )
 
 
 def ngram_repetition_stats(

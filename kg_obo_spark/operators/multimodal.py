@@ -190,7 +190,12 @@ def decode_stub(
                 }
             )
 
-    return media.mapInPandas(decode, schema=FEATURE_SCHEMA)
+    # r8: decode is the per-row-heavy stage — spread underfilled scans
+    from kg_obo_spark.partitioning import ensure_scan_parallelism
+
+    return ensure_scan_parallelism(media).mapInPandas(
+        decode, schema=FEATURE_SCHEMA
+    )
 
 
 def resize_stub(

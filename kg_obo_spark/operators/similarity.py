@@ -126,9 +126,13 @@ def random_hyperplane_signature(
             sigs = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
             yield pd.DataFrame({id_col: pdf[id_col], "signature": sigs})
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        sig, schema=f"{id_col} long, signature long"
-    )
+    # r8: spread underfilled scans before the Python stage (guide §2.5);
+    # no-op when the input already carries >= cores partitions
+    from kg_obo_spark.partitioning import ensure_scan_parallelism
+
+    return ensure_scan_parallelism(
+        embeddings.select(id_col, vec_col)
+    ).mapInPandas(sig, schema=f"{id_col} long, signature long")
 
 
 def md5_sign_planes(n_planes: int, dim: int) -> list[list[float]]:
