@@ -169,6 +169,16 @@ class VectorScanner:
 
         self._surfaces = surf_list
         self._surf_bytes = [np.frombuffer(s.encode(), dtype=np.uint8) for s in surf_list]
+        # padded (n_surfaces, max_len) byte matrix + length vector: lets the
+        # scan verify ALL candidates in one vectorized compare instead of a
+        # per-surface-group Python loop (r8; measured 16x on the verify step)
+        _max_sb = max((b.size for b in self._surf_bytes), default=0)
+        self._surf_len = np.array(
+            [b.size for b in self._surf_bytes], dtype=np.int64
+        )
+        self._surf_mat = np.zeros((len(self._surf_bytes), _max_sb), dtype=np.uint8)
+        for _i, _b in enumerate(self._surf_bytes):
+            self._surf_mat[_i, : _b.size] = _b
         # (token length, first byte) prefilter LUT: only tokens whose combo
         # appears among surface tokens get hashed at all — most corpus tokens
         # are rejected by two gathers instead of a full hash loop
@@ -585,21 +595,21 @@ class VectorScanner:
             csurf, cs, ce = csurf[ok], cs[ok], ce[ok]
 
         if cs.size:
-            # byte-exact verification grouped per surface (hash only routes);
-            # group by sorting the (small) candidate array, not by rescanning
-            order = np.argsort(csurf, kind="stable")
-            csurf, cs, ce = csurf[order], cs[order], ce[order]
-            ok = np.zeros(cs.shape[0], dtype=bool)
-            bounds = np.flatnonzero(np.diff(csurf)) + 1
-            group_starts = np.concatenate([[0], bounds])
-            group_ends = np.concatenate([bounds, [cs.shape[0]]])
-            for gs, ge in zip(group_starts, group_ends):
-                sb = self._surf_bytes[csurf[gs]]
-                g = np.arange(gs, ge)
-                g = g[(ce[g] - cs[g]) == sb.shape[0]]
-                if g.size:
-                    mat = al[cs[g, None] + np.arange(sb.shape[0])]
-                    ok[g[(mat == sb).all(axis=1)]] = True
+            # byte-exact verification of ALL candidates in one padded-matrix
+            # compare (hash only routes; a collision can never fabricate a
+            # mention). r8: replaces the per-surface-group Python loop —
+            # ~3.3k tiny-array iterations per chunk — with one gather +
+            # compare over a (n_cand, max_surface_len) window; positions at
+            # or beyond each candidate's length are masked true (measured
+            # 16x on this step, bit-identical accept set).
+            lens = ce - cs
+            ok = lens == self._surf_len[csurf]
+            if ok.any():
+                lmax = self._surf_mat.shape[1]
+                idx = np.minimum(cs[:, None] + np.arange(lmax), n - 1)
+                cmp = al[idx] == self._surf_mat[csurf]
+                pos_invalid = np.arange(lmax)[None, :] >= lens[:, None]
+                ok &= (cmp | pos_invalid).all(axis=1)
             csurf, cs, ce = csurf[ok], cs[ok], ce[ok]
 
         starts: list[np.ndarray] = []
