@@ -113,32 +113,83 @@ def minhash_signatures(
     a_params, b_params = _minhash_params(num_hashes)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         for pdf in batches:
-            lists = []
-            for s in pdf[text_col].astype(str):
-                toks = py_tokens(s.lower())
-                if len(toks) < shingle_k:
-                    lists.append(())
-                else:
-                    lists.append(
-                        tuple(
-                            dict.fromkeys(
-                                " ".join(toks[i : i + shingle_k])
-                                for i in range(len(toks) - shingle_k + 1)
+            n_rows = len(pdf)
+            if n_rows == 0:
+                continue
+            texts_pa = pa.array(pdf[text_col].astype(str), type=pa.string())
+            if bool(pc.all(pc.string_is_ascii(texts_pa)).as_py()):
+                # r8 vectorized ASCII path: tokenize + shingle entirely in
+                # Arrow/numpy C kernels. ascii_split_whitespace splits on the
+                # same ASCII class as the engine-wide Java \s token model
+                # (py_tokens); empties at run boundaries are filtered like
+                # py_tokens drops them. Shingle strings are built by one
+                # element-wise join of k shifted token slices, so they are
+                # byte-identical to " ".join(toks[i:i+k]) — and since
+                # min(hash) over a multiset equals min over its support, the
+                # per-doc dict.fromkeys dedup was only ever a perf detail:
+                # signatures stay bit-equal (pinned by the md5/LSH parity
+                # tests plus test_minhash_vectorized_tokenize_matches_loop).
+                toks = pc.ascii_split_whitespace(pc.ascii_lower(texts_pa))
+                tok_counts = pc.list_value_length(toks).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                flat = pc.list_flatten(toks)
+                row = np.repeat(np.arange(n_rows, dtype=np.int64), tok_counts)
+                nz = pc.binary_length(flat).to_numpy(zero_copy_only=False) > 0
+                if not nz.all():
+                    flat = flat.take(pa.array(np.flatnonzero(nz)))
+                    row = row[nz]
+                m = len(row)
+                counts_tok = np.bincount(row, minlength=n_rows)
+                keep = counts_tok >= shingle_k
+                if not keep.any():
+                    continue
+                w = m - shingle_k + 1  # candidate shingle windows
+                valid = row[:w] == row[shingle_k - 1 :]
+                parts = [flat.slice(j, w) for j in range(shingle_k)]
+                sh = pc.binary_join_element_wise(*parts, " ")
+                if not valid.all():
+                    sh = sh.take(pa.array(np.flatnonzero(valid)))
+                ids_all = pdf[id_col].to_numpy()[keep]
+                counts = counts_tok[keep] - (shingle_k - 1)
+                flat_sh = sh.to_numpy(zero_copy_only=False)
+                base = pd.util.hash_array(flat_sh, categorize=False)
+                offsets = np.zeros(len(ids_all), dtype=np.int64)
+                np.cumsum(counts[:-1], out=offsets[1:])
+            else:
+                lists = []
+                for s in pdf[text_col].astype(str):
+                    toks = py_tokens(s.lower())
+                    if len(toks) < shingle_k:
+                        lists.append(())
+                    else:
+                        lists.append(
+                            tuple(
+                                dict.fromkeys(
+                                    " ".join(toks[i : i + shingle_k])
+                                    for i in range(len(toks) - shingle_k + 1)
+                                )
                             )
                         )
-                    )
-            counts = np.fromiter((len(x) for x in lists), dtype=np.int64, count=len(lists))
-            keep = counts > 0
-            if not keep.any():
-                continue
-            ids_all = pdf[id_col].to_numpy()[keep]
-            counts = counts[keep]
-            kept_lists = [x for x in lists if len(x)]
-            flat = np.concatenate([np.asarray(x, dtype=object) for x in kept_lists])
-            base = pd.util.hash_array(flat, categorize=False)  # uint64 (S,)
-            offsets = np.zeros(len(kept_lists), dtype=np.int64)
-            np.cumsum(counts[:-1], out=offsets[1:])
+                counts = np.fromiter(
+                    (len(x) for x in lists), dtype=np.int64, count=len(lists)
+                )
+                keep = counts > 0
+                if not keep.any():
+                    continue
+                ids_all = pdf[id_col].to_numpy()[keep]
+                counts = counts[keep]
+                kept_lists = [x for x in lists if len(x)]
+                flat = np.concatenate(
+                    [np.asarray(x, dtype=object) for x in kept_lists]
+                )
+                base = pd.util.hash_array(flat, categorize=False)  # uint64 (S,)
+                offsets = np.zeros(len(kept_lists), dtype=np.int64)
+                np.cumsum(counts[:-1], out=offsets[1:])
             # r8: one permutation at a time against a reused (S,) buffer
             # instead of the broadcast (H, S) matrix — identical multiply-add
             # + reduceat arithmetic (bit-equal mins, pinned by the md5/LSH
@@ -147,7 +198,7 @@ def minhash_signatures(
             # the kernel stays cache-resident: measured 3x faster on the
             # sf1.0 corpus single-core (0.192 s -> 0.065 s per 1M shingles).
             buf = np.empty(len(base), dtype=np.uint64)
-            mins = np.empty((num_hashes, len(kept_lists)), dtype=np.uint64)
+            mins = np.empty((num_hashes, len(ids_all)), dtype=np.uint64)
             for h in range(num_hashes):
                 np.multiply(base, a_params[h], out=buf)
                 buf += b_params[h]

@@ -172,6 +172,72 @@ def test_minhash_and_simhash_preserve_string_ids(spark):
     assert sh.count() == 3
 
 
+def _reference_signatures(rows, num_hashes, shingle_k=3):
+    """Pure-Python mirror of the pre-r8 per-row signature loop: tokenize with
+    py_tokens, distinct k-shingles, pd.util.hash_array base hash, affine
+    permutation mins — the semantics the vectorized Arrow path must match
+    bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    from kg_obo_spark.functions.text import py_tokens
+    from kg_obo_spark.operators.dedup import _minhash_params
+
+    a_p, b_p = _minhash_params(num_hashes)
+    out = {}
+    for rid, s in rows:
+        toks = py_tokens(s.lower())
+        if len(toks) < shingle_k:
+            continue
+        shingles = list(
+            dict.fromkeys(
+                " ".join(toks[i : i + shingle_k])
+                for i in range(len(toks) - shingle_k + 1)
+            )
+        )
+        base = pd.util.hash_array(
+            np.asarray(shingles, dtype=object), categorize=False
+        )
+        sig = [
+            int((base * a_p[h] + b_p[h]).min().view(np.int64))
+            for h in range(num_hashes)
+        ]
+        out[rid] = sig
+    return out
+
+
+def test_minhash_vectorized_tokenize_matches_loop(spark):
+    """r8: the Arrow-vectorized ASCII tokenize+shingle path must produce
+    bit-identical signatures to the per-row loop — including whitespace
+    variants (tab, vertical tab, runs), repeated shingles (multiset min ==
+    set min), short docs (dropped), and the non-ASCII batch fallback."""
+    ascii_rows = [
+        (1, BASE),
+        (2, "one\ttwo\x0bthree   four  \n five "),
+        (3, "too short"),
+        (4, "rep rep rep rep rep rep"),  # duplicate shingles
+        (5, ""),
+        (6, NEAR + "  " + NEAR),
+    ]
+    df = spark.createDataFrame(ascii_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["signature"])
+        for r in minhash_signatures(df, num_hashes=16).collect()
+    }
+    assert got == _reference_signatures(ascii_rows, 16)
+
+    # a non-ASCII doc forces the batch down the per-row fallback; results
+    # still match the same reference (py_tokens is ASCII-whitespace-only, so
+    # \xa0 is NOT a separator in either path)
+    uni_rows = [(7, "caf\xe9 au lait caf\xe9 au lait"), (8, "a\xa0b c d e f g")]
+    df2 = spark.createDataFrame(uni_rows, "doc_id long, text string")
+    got2 = {
+        r["doc_id"]: list(r["signature"])
+        for r in minhash_signatures(df2, num_hashes=16).collect()
+    }
+    assert got2 == _reference_signatures(uni_rows, 16)
+
+
 def test_near_dup_groups_transitive_and_singletons(spark):
     """Pairs fold into transitive groups (1-2, 2-3 => {1,2,3} -> rep 1);
     unpaired docs are their own representative."""
