@@ -216,9 +216,19 @@ def write_transcripts(
 
     ``num_files`` fixes the file count independent of the writing session's
     parallelism — readers at any core count then get the same split layout
-    (required for the N-vs-4N scaling comparison to be apples-to-apples)."""
+    (required for the N-vs-4N scaling comparison to be apples-to-apples).
+
+    Default file count (r8): the size-derived count (``n_convs // 2000``,
+    floor 64) rounded to the nearest multiple of the writing session's
+    ``defaultParallelism``, so the reader's split packing divides evenly
+    into task waves instead of leaving a straggler tail (guide §2.6/§6 —
+    measured: 100 files pack into 34 splits on 32 cores, a 2-wave tail that
+    ran the fused extraction scan at 1.64 s; 96 files pack into exactly 32
+    splits and run it at 1.31 s, identical row content at every count)."""
     if num_files is None:
-        num_files = max(64, n_convs // 2000)
+        base = max(64, n_convs // 2000)
+        par = max(1, spark.sparkContext.defaultParallelism)
+        num_files = max(par, round(base / par) * par)
     df = generate_transcripts(
         spark, n_convs=n_convs, seed=seed, ontology=ontology,
         sentences_range=sentences_range,
