@@ -682,22 +682,49 @@ class VectorScanner:
 
     def sweep(self, cand: dict, best_only: bool):
         """Leftmost-longest resolution over ALL rows at once: global lexsort
-        by (start, -end, prio, -score, rank), then one greedy pass."""
+        by (start, -end, prio, -score, rank), then a greedy pass.
+
+        r8: the greedy is run per CONFLICT GROUP instead of per candidate.
+        A candidate whose start is >= the running max end of every earlier
+        candidate can never be rejected (the greedy's last accepted end is
+        bounded by that running max), and later decisions never look back
+        past it — so boundaries of ``start >= cummax(end)`` split the
+        sorted candidates into independent groups. Singleton groups (the
+        vast majority: isolated mentions with one dictionary entry) are
+        accepted wholesale with no Python; the per-candidate loop runs only
+        inside multi-candidate groups. Output order/content is identical
+        to the full greedy pass (pinned by the batched-vs-per-row property
+        suite and the pure-Python oracle parity tests)."""
         start, end = cand["start"], cand["end"]
         if start.size == 0:
             return np.empty(0, np.int64)
         order = np.lexsort((cand["rank"], -cand["score"], cand["prio"], -end, start))
-        st = start[order].tolist()
-        en = end[order].tolist()
-        sel = []
-        last_end = -1
-        cur_s = cur_e = -1
-        for i in range(len(st)):
-            s = st[i]
-            if s >= last_end:
-                cur_s, cur_e = s, en[i]
-                last_end = cur_e
-                sel.append(i)
-            elif not best_only and s == cur_s and en[i] == cur_e:
-                sel.append(i)
-        return order[np.asarray(sel, dtype=np.int64)]
+        ss = start[order]
+        ee = end[order]
+        n = ss.shape[0]
+        new_group = np.empty(n, dtype=bool)
+        new_group[0] = True
+        np.greater_equal(ss[1:], np.maximum.accumulate(ee)[:-1], out=new_group[1:])
+        gstart = np.flatnonzero(new_group)
+        gsize = np.diff(np.concatenate([gstart, [n]]))
+        if gsize.max() == 1:
+            return order
+        singleton = gsize == 1
+        keep = np.zeros(n, dtype=bool)
+        keep[gstart[singleton]] = True
+        st = ss.tolist()
+        en = ee.tolist()
+        for g in np.flatnonzero(~singleton):
+            i0 = int(gstart[g])
+            i1 = i0 + int(gsize[g])
+            last_end = -1
+            cur_s = cur_e = -1
+            for i in range(i0, i1):
+                s = st[i]
+                if s >= last_end:
+                    cur_s, cur_e = s, en[i]
+                    last_end = cur_e
+                    keep[i] = True
+                elif not best_only and s == cur_s and en[i] == cur_e:
+                    keep[i] = True
+        return order[np.flatnonzero(keep)]

@@ -215,3 +215,71 @@ def test_large_dictionary_equivalence():
     pdf = _gen_for_convs(np.arange(250, dtype=np.int64), 7, onto.terms, (2, 6))
     rows = pdf["text"].tolist()
     assert m.find_batch(rows) == [m.find(t) for t in rows]
+
+
+def test_sweep_group_decomposition_matches_reference():
+    """r8: the sweep's conflict-group fast path (singleton groups accepted
+    without the Python greedy loop) must reproduce the full sequential
+    greedy exactly — exercised on adversarial synthetic candidate sets:
+    chained overlaps, nested spans, duplicate spans (best_only=False
+    emission), ties, and all-singleton layouts."""
+    import numpy as np
+
+    from kg_obo_spark.fastscan import VectorScanner
+
+    def reference(cand, best_only):
+        start, end = cand["start"], cand["end"]
+        order = np.lexsort(
+            (cand["rank"], -cand["score"], cand["prio"], -end, start)
+        )
+        st = start[order].tolist()
+        en = end[order].tolist()
+        sel = []
+        last_end = -1
+        cur_s = cur_e = -1
+        for i in range(len(st)):
+            s = st[i]
+            if s >= last_end:
+                cur_s, cur_e = s, en[i]
+                last_end = cur_e
+                sel.append(i)
+            elif not best_only and s == cur_s and en[i] == cur_e:
+                sel.append(i)
+        return order[np.asarray(sel, dtype=np.int64)]
+
+    sweep = VectorScanner.sweep
+    rng = np.random.default_rng(0xC0FFEE)
+    cases = []
+    # chained overlaps + nested spans + duplicates
+    cases.append(
+        dict(
+            start=np.array([0, 2, 4, 0, 10, 10, 20, 20, 21], dtype=np.int64),
+            end=np.array([5, 7, 9, 5, 15, 15, 30, 25, 29], dtype=np.int64),
+        )
+    )
+    # all singletons (fast path returns order wholesale)
+    cases.append(
+        dict(
+            start=np.arange(0, 100, 10, dtype=np.int64),
+            end=np.arange(5, 105, 10, dtype=np.int64),
+        )
+    )
+    # random fuzz: short spans over a small range to force dense conflicts
+    for _ in range(20):
+        n = int(rng.integers(1, 60))
+        s = rng.integers(0, 80, n)
+        ln = rng.integers(1, 12, n)
+        cases.append(dict(start=s.astype(np.int64), end=(s + ln).astype(np.int64)))
+    for c in cases:
+        n = c["start"].shape[0]
+        cand = {
+            "start": c["start"],
+            "end": c["end"],
+            "prio": rng.integers(0, 2, n).astype(np.int64),
+            "score": rng.choice([0.9, 0.95, 1.0], n).astype(np.float64),
+            "rank": rng.integers(0, 50, n).astype(np.int64),
+        }
+        for best_only in (True, False):
+            got = sweep(None, cand, best_only)
+            want = reference(cand, best_only)
+            assert np.array_equal(got, want), (cand, best_only)
